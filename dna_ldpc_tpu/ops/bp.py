@@ -1,0 +1,169 @@
+"""Batched flooding sum-product LDPC belief propagation on TPU (XLA path).
+
+TPU-native redesign of the reference decoder
+(``LDPC_dec/ldpc/dec.cpp:583-694``): instead of one process per codeword
+walking linked edge lists in the probability-ratio domain, all codewords
+decode together as ``[batch, n_edges]`` message arrays in the LLR domain,
+with one gather per message direction per iteration (tables from
+``models.ldpc_graph``) and a per-codeword syndrome early stop
+(``check()``, ``check.cpp:28-47``) latching results independently.
+
+Decision semantics match the reference exactly:
+
+- initial hard decision: bit = (channel LLR < 0), i.e. ``lratio < 1``
+  (``Init_Belief_Propagation``, dec.cpp:608-629);
+- per-iteration decision: bit = (posterior LLR <= 0), i.e. ``pr <= 1``,
+  with non-finite posteriors decided as 1 (``pr = NaN -> 1``,
+  dec.cpp:676-686);
+- syndrome is evaluated on the current decision *before* each iteration;
+  the loop stops at iteration n if the syndrome is zero or n == max_iter
+  (``Run_Belief_Propagation_Decoder``, dec.cpp:583-605), so a decode can
+  succeed at n=0 without any message passing.
+
+The check update is the probability-domain exclusive product
+``dl *= 1 - 2/(1 + pr)`` of the reference expressed in its mathematically
+identical tanh form: 1 - 2/(1+e^L) = tanh(L/2), and
+(1+t)/(1-t) = exp(2 atanh t). Exclusive products use forward/backward
+cumulative products exactly like the reference's two sweeps, which keeps
+zero messages (erasures) exact instead of dividing by zero.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.ldpc_graph import LdpcGraph
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class BpResult:
+    bits: jax.Array        # [B, N] uint8 hard decisions (latched at stop)
+    success: jax.Array     # [B] bool: syndrome reached zero
+    iterations: jax.Array  # [B] int32: reference iteration count semantics
+    unsat: jax.Array       # [B] int32: unsatisfied checks at stop
+
+
+def _exclusive_prod(t: jax.Array) -> jax.Array:
+    """Per-row exclusive product along the last axis via forward/backward
+    cumulative sweeps (mirrors dec.cpp:646-662; exact for zero factors)."""
+    ones = jnp.ones_like(t[..., :1])
+    fwd = jnp.concatenate([ones, jnp.cumprod(t, axis=-1)[..., :-1]], axis=-1)
+    bwd = jnp.concatenate(
+        [ones, jnp.cumprod(t[..., ::-1], axis=-1)[..., :-1]], axis=-1
+    )[..., ::-1]
+    return fwd * bwd
+
+
+def _check_messages(v2c: jax.Array, check_mask: jax.Array, clip: float) -> jax.Array:
+    """Check-node update in tanh domain. v2c: [B, M, dc] LLR messages
+    (padded slots arbitrary); returns c2v [B, M, dc]."""
+    t = jnp.tanh(v2c * 0.5)
+    t = jnp.where(check_mask[None], t, jnp.ones_like(t))
+    te = _exclusive_prod(t)
+    te = jnp.clip(te, -clip, clip)
+    # 2*atanh(te), written as log1p for accuracy near |te| ~ 1
+    return jnp.log1p(te) - jnp.log1p(-te)
+
+
+def _syndrome_unsat(bits: jax.Array, check_vars: jax.Array, check_mask: jax.Array) -> jax.Array:
+    """Number of unsatisfied checks per batch element. bits: [B, N] int32."""
+    gathered = jnp.take(bits, jnp.maximum(check_vars, 0).reshape(-1), axis=1)
+    gathered = gathered.reshape(bits.shape[0], *check_vars.shape)
+    gathered = jnp.where(check_mask[None], gathered, 0)
+    parity = jnp.sum(gathered, axis=-1) % 2  # [B, M]
+    return jnp.sum(parity, axis=-1).astype(jnp.int32)
+
+
+def bp_decode(
+    graph: LdpcGraph,
+    llr: jax.Array,
+    max_iter: int = 200,
+    clip: Optional[float] = None,
+) -> BpResult:
+    """Decode a batch of LLR vectors. llr: [B, N], sign convention
+    LLR >= 0 <=> bit 0 (log p0/p1, matching DNA_main.cpp:1340-1345)."""
+    return _bp_decode_jit(graph, max_iter, clip)(llr)
+
+
+@functools.lru_cache(maxsize=32)
+def _bp_decode_jit(graph: LdpcGraph, max_iter: int, clip: Optional[float]):
+    tables = graph.device_tables()
+    check_vars = tables["check_vars"]
+    check_mask = tables["check_mask"]
+    var_edge_ids = tables["var_edge_ids"].reshape(-1)
+    edge_perm = tables["edge_perm"]
+    M, N = graph.n_checks, graph.n_vars
+    dc, dv = graph.dc_max, graph.dv_max
+
+    def decode(llr: jax.Array) -> BpResult:
+        B = llr.shape[0]
+        dtype = llr.dtype
+        eps = jnp.finfo(dtype).eps
+        clip_t = jnp.asarray(1.0, dtype) - (eps if clip is None else clip)
+
+        bits0 = (llr < 0).astype(jnp.uint8)  # lratio < 1 (dec.cpp:626)
+        unsat0 = _syndrome_unsat(bits0.astype(jnp.int32), check_vars, check_mask)
+        done0 = unsat0 == 0
+
+        # v2c messages, check-major [B, M*dc]; init to channel LLR of the
+        # edge's variable (Init_Belief_Propagation: e->pr = lratio[j]).
+        v0 = jnp.take(llr, jnp.maximum(check_vars, 0).reshape(-1), axis=1)
+
+        def cond(state):
+            n, _, _, _, done, _ = state
+            return (n < max_iter) & ~jnp.all(done)
+
+        def body(state):
+            n, v2c, bits, iters, done, unsat = state
+            c2v = _check_messages(v2c.reshape(B, M, dc), check_mask, clip_t)
+            c2v_flat = c2v.reshape(B, M * dc)
+            c2v_pad = jnp.concatenate([c2v_flat, jnp.zeros((B, 1), dtype)], axis=1)
+            cv = jnp.take(c2v_pad, var_edge_ids, axis=1).reshape(B, N, dv)
+            post = llr + jnp.sum(cv, axis=-1)  # [B, N]
+            # pr <= 1 decision with NaN -> 1 (dec.cpp:676-686): ~(post > 0)
+            # is True for both post <= 0 and NaN.
+            new_bits = (~(post > 0)).astype(jnp.uint8)
+            v2c_vm = post[:, :, None] - cv  # [B, N, dv]
+            v2c_vm_pad = jnp.concatenate(
+                [v2c_vm.reshape(B, N * dv), jnp.zeros((B, 1), dtype)], axis=1
+            )
+            new_v2c = jnp.take(v2c_vm_pad, edge_perm, axis=1)
+
+            new_unsat = _syndrome_unsat(new_bits.astype(jnp.int32), check_vars, check_mask)
+            newly_done = (new_unsat == 0) & ~done
+            bits = jnp.where(done[:, None], bits, new_bits)
+            unsat = jnp.where(done, unsat, new_unsat)
+            iters = jnp.where(done, iters, n + 1)
+            done = done | newly_done
+            return (n + 1, new_v2c, bits, iters, done, unsat)
+
+        state = (
+            jnp.int32(0),
+            v0,
+            bits0,
+            jnp.zeros(B, jnp.int32),
+            done0,
+            unsat0,
+        )
+        n, _, bits, iters, done, unsat = jax.lax.while_loop(cond, body, state)
+        return BpResult(bits=bits, success=done, iterations=iters, unsat=unsat)
+
+    return jax.jit(decode)
+
+
+# ---------------------------------------------------------------------------
+# Convenience host API
+# ---------------------------------------------------------------------------
+
+
+def decode_llrs(graph: LdpcGraph, llrs: np.ndarray, max_iter: int = 200) -> BpResult:
+    """Host entry: accepts [N] or [B, N] numpy LLRs, returns device results."""
+    llrs = jnp.asarray(np.atleast_2d(np.asarray(llrs, dtype=np.float32)))
+    return bp_decode(graph, llrs, max_iter=max_iter)
