@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""Headline benchmark: decoded LDPC codewords/s/chip on the deployed
+n=18432 DNA-storage code at fixed 50 BP iterations (BASELINE.json metric).
+
+Reference baseline: ~0.21 codewords/s end-to-end on CPU (272 codewords per
+~1300 s trial, ``ex_decoder/o_72000_7_*_result.txt``; BASELINE.md).
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": "codewords/s", "vs_baseline": N}
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_CW_PER_S = 0.21
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from dna_ldpc_tpu.models import LdpcGraph, dna_storage_pchk
+    from dna_ldpc_tpu.ops.bp import bp_decode
+
+    graph = LdpcGraph.from_sparse(dna_storage_pchk())
+
+    # Realistic trial-like channel: per-strand coverage ~Poisson(3.7),
+    # per-read bit error 2%, LLR = (votes) * log((1-eps)/eps) — the
+    # distribution the soft-information chain produces (SURVEY.md §2.1).
+    B = 512
+    ITERS = 50
+    rng = np.random.default_rng(7)
+    mag = np.log(0.98 / 0.02)
+    cov = rng.poisson(3.7, (B, 18432))
+    errs = rng.binomial(cov, 0.02)
+    llr = jnp.asarray(((cov - 2 * errs) * mag).astype(np.float32))
+
+    decode = lambda x: bp_decode(graph, x, max_iter=ITERS, early_stop=False)
+
+    r = decode(llr)
+    jax.block_until_ready(r.bits)  # compile + warm up
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        r = decode(llr)
+        jax.block_until_ready(r.bits)
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    value = B / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": f"decoded codewords/s/chip (n=18432 BP, {ITERS} fixed iters, batch {B})",
+                "value": round(value, 1),
+                "unit": "codewords/s",
+                "vs_baseline": round(value / BASELINE_CW_PER_S, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -51,14 +51,27 @@ class BpResult:
 
 
 def _exclusive_prod(t: jax.Array) -> jax.Array:
-    """Per-row exclusive product along the last axis via forward/backward
-    cumulative sweeps (mirrors dec.cpp:646-662; exact for zero factors)."""
-    ones = jnp.ones_like(t[..., :1])
-    fwd = jnp.concatenate([ones, jnp.cumprod(t, axis=-1)[..., :-1]], axis=-1)
-    bwd = jnp.concatenate(
-        [ones, jnp.cumprod(t[..., ::-1], axis=-1)[..., :-1]], axis=-1
-    )[..., ::-1]
-    return fwd * bwd
+    """Per-row exclusive product along the last axis.
+
+    Mathematically equal to the reference's forward/backward sweeps
+    (dec.cpp:646-662) but computed as whole-row reductions (sign parity +
+    log-magnitude sums + zero counting) instead of sequential cumulative
+    products — reductions map to the VPU in one pass and keep the HLO tiny,
+    where a 72-step cumprod scan made XLA compile times explode. Zero
+    factors (erasure messages) stay exact: an excluded product is zero iff
+    it contains a zero factor."""
+    dtype = t.dtype
+    is_zero = t == 0
+    neg = t < 0
+    logabs = jnp.log(jnp.where(is_zero, jnp.ones_like(t), jnp.abs(t)))
+    sum_log = jnp.sum(logabs, axis=-1, keepdims=True)
+    n_zero = jnp.sum(is_zero, axis=-1, keepdims=True)
+    n_neg = jnp.sum(neg, axis=-1, keepdims=True)
+    excl_zero = n_zero - is_zero.astype(n_zero.dtype)
+    excl_neg = n_neg - neg.astype(n_neg.dtype)
+    mag = jnp.exp(sum_log - logabs)
+    sign = jnp.asarray(1.0, dtype) - 2.0 * (excl_neg % 2).astype(dtype)
+    return jnp.where(excl_zero > 0, jnp.zeros_like(t), sign * mag)
 
 
 def _check_messages(v2c: jax.Array, check_mask: jax.Array, clip: float) -> jax.Array:
@@ -86,14 +99,19 @@ def bp_decode(
     llr: jax.Array,
     max_iter: int = 200,
     clip: Optional[float] = None,
+    early_stop: bool = True,
 ) -> BpResult:
     """Decode a batch of LLR vectors. llr: [B, N], sign convention
-    LLR >= 0 <=> bit 0 (log p0/p1, matching DNA_main.cpp:1340-1345)."""
-    return _bp_decode_jit(graph, max_iter, clip)(llr)
+    LLR >= 0 <=> bit 0 (log p0/p1, matching DNA_main.cpp:1340-1345).
+
+    ``early_stop=False`` runs all max_iter iterations regardless of
+    convergence (per-codeword results still latch at first zero syndrome);
+    used for fixed-work benchmarking."""
+    return _bp_decode_jit(graph, max_iter, clip, early_stop)(llr)
 
 
 @functools.lru_cache(maxsize=32)
-def _bp_decode_jit(graph: LdpcGraph, max_iter: int, clip: Optional[float]):
+def _bp_decode_jit(graph: LdpcGraph, max_iter: int, clip: Optional[float], early_stop: bool = True):
     tables = graph.device_tables()
     check_vars = tables["check_vars"]
     check_mask = tables["check_mask"]
@@ -118,19 +136,28 @@ def _bp_decode_jit(graph: LdpcGraph, max_iter: int, clip: Optional[float]):
 
         def cond(state):
             n, _, _, _, done, _ = state
+            if not early_stop:
+                return n < max_iter
             return (n < max_iter) & ~jnp.all(done)
 
         def body(state):
             n, v2c, bits, iters, done, unsat = state
             c2v = _check_messages(v2c.reshape(B, M, dc), check_mask, clip_t)
+            # optimization_barrier between the pipeline stages: fusing the
+            # check update into/through the 147k-index gathers sends the
+            # XLA:TPU scheduler into a multi-minute compile (262s -> 33s
+            # measured at B=256) with no runtime benefit.
+            c2v = jax.lax.optimization_barrier(c2v)
             c2v_flat = c2v.reshape(B, M * dc)
             c2v_pad = jnp.concatenate([c2v_flat, jnp.zeros((B, 1), dtype)], axis=1)
             cv = jnp.take(c2v_pad, var_edge_ids, axis=1).reshape(B, N, dv)
+            cv = jax.lax.optimization_barrier(cv)
             post = llr + jnp.sum(cv, axis=-1)  # [B, N]
             # pr <= 1 decision with NaN -> 1 (dec.cpp:676-686): ~(post > 0)
             # is True for both post <= 0 and NaN.
             new_bits = (~(post > 0)).astype(jnp.uint8)
             v2c_vm = post[:, :, None] - cv  # [B, N, dv]
+            v2c_vm = jax.lax.optimization_barrier(v2c_vm)
             v2c_vm_pad = jnp.concatenate(
                 [v2c_vm.reshape(B, N * dv), jnp.zeros((B, 1), dtype)], axis=1
             )

@@ -1,0 +1,92 @@
+"""Batched Levenshtein edit distance via antidiagonal dynamic programming.
+
+Replaces the reference's per-pair O(L^2) Python DP (``ex_decoder/
+def_func.py:10-26``, called all-pairs inside every mixed-length cluster,
+decoder.py:179-187) with one vectorized computation over *all* pairs of a
+trial at once: the DP table is swept by antidiagonals, so each of the
+L1+L2 steps is an elementwise min over a [n_pairs, diag] slab — numpy on
+host (the pipeline's ingest stage), with identical results to the scalar
+recurrence (substitution/insert/delete all cost 1).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def edit_distance_pairs(
+    seqs: np.ndarray, lengths: np.ndarray, pairs_a: np.ndarray, pairs_b: np.ndarray
+) -> np.ndarray:
+    """Edit distances for specified sequence pairs.
+
+    seqs: [n, Lmax] uint8 padded byte matrix; lengths: [n]; pairs_a/b: [P]
+    row indices. Returns [P] int32 distances between the unpadded strings.
+    """
+    if len(pairs_a) == 0:
+        return np.zeros(0, dtype=np.int32)
+    A = seqs[pairs_a]
+    B = seqs[pairs_b]
+    la = lengths[pairs_a].astype(np.int64)
+    lb = lengths[pairs_b].astype(np.int64)
+    P, L = A.shape
+    if L == 0:
+        return np.zeros(P, dtype=np.int32)
+
+    # dp has (L+1) x (L+1) conceptual cells per pair; we keep two previous
+    # antidiagonals. Cell (i, j) = distance between A[:i], B[:j].
+    # Antidiagonal d holds cells with i + j = d, i in [max(0,d-L), min(d,L)].
+    INF = np.int32(1 << 20)
+    maxd = 2 * L
+    # prev2 = diag d-2, prev1 = diag d-1, indexed by i (row coordinate)
+    prev2 = np.full((P, L + 1), INF, dtype=np.int32)
+    prev1 = np.full((P, L + 1), INF, dtype=np.int32)
+    prev1[:, 0] = 1  # (0,1)
+    prev1[:, 1] = 1  # (1,0)
+    prev2[:, 0] = 0  # (0,0)
+    dists = np.zeros(P, dtype=np.int32)
+    # record boundary results when (i, j) == (la, lb), i.e. d == la + lb
+    done_d = la + lb
+    dists[done_d == 0] = 0
+    dists[done_d == 1] = 1  # one string empty, the other length 1
+
+    i_all = np.arange(L + 1)
+    for d in range(2, maxd + 1):
+        cur = np.full((P, L + 1), INF, dtype=np.int32)
+        i_lo, i_hi = max(0, d - L), min(d, L)
+        i = i_all[i_lo : i_hi + 1]
+        j = d - i
+        # deletion (i-1, j) lives on prev1 at i-1; insertion (i, j-1) on
+        # prev1 at i; substitution/match (i-1, j-1) on prev2 at i-1.
+        del_ = np.where(i[None, :] >= 1, prev1[:, np.maximum(i - 1, 0)], INF)
+        ins_ = prev1[:, i]
+        sub_ = np.where(i[None, :] >= 1, prev2[:, np.maximum(i - 1, 0)], INF)
+        # character comparison for (i, j): A[i-1] vs B[j-1]; valid when
+        # 1 <= i <= la and 1 <= j <= lb (outside, cells are unused)
+        ai = np.take_along_axis(A, np.maximum(i - 1, 0)[None, :].repeat(P, 0), axis=1)
+        bj = np.take_along_axis(B, np.maximum(j - 1, 0)[None, :].repeat(P, 0), axis=1)
+        eq = ai == bj
+        cost = np.minimum(np.minimum(del_, ins_), sub_) + 1
+        cost = np.where(eq & (i[None, :] >= 1) & (j[None, :] >= 1), np.minimum(cost, sub_), cost)
+        # boundary rows/cols of the DP table
+        cur[:, i_lo : i_hi + 1] = cost
+        if d <= L:
+            cur[:, 0] = d   # (0, d)
+            cur[:, d] = d   # (d, 0)
+        hit = done_d == d
+        if hit.any():
+            dists[hit] = cur[hit, la[hit]]
+        prev2, prev1 = prev1, cur
+        if d >= done_d.max():
+            break
+    return dists
+
+
+def edit_distance(s1: str, s2: str) -> int:
+    """Scalar convenience wrapper (test parity with def_func.edit_dist)."""
+    from ..utils.dna import seqs_to_matrix
+
+    mat = seqs_to_matrix([s1, s2], fill=b"\x00")
+    lengths = np.array([len(s1), len(s2)])
+    return int(
+        edit_distance_pairs(mat, lengths, np.array([0]), np.array([1]))[0]
+    )

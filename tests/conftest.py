@@ -14,6 +14,12 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax  # noqa: E402
+
+# The axon TPU site hook rewrites JAX_PLATFORMS to "axon,cpu"; override the
+# config directly (backends are not initialized yet at conftest import).
+jax.config.update("jax_platforms", "cpu")
+
 import pytest  # noqa: E402
 
 REFERENCE = "/root/reference"
