@@ -1,0 +1,159 @@
+"""End-to-end trial decoding: reads -> soft information -> batched BP ->
+epsilon-annealing re-decode -> result report.
+
+TPU-native redesign of the reference trial driver (``ex_decoder/
+decoder.py:44-727``): where the reference spawns one ldpc.exe process per
+codeword (272 sequential invocations, decoder.py:553-558) and re-runs
+failures one at a time through re-scaled soft files, here all 272 codewords
+of a trial decode as ONE batched BP call, and each annealing round re-runs
+only the failing subset as a single smaller batch.
+
+Semantics mirrored exactly:
+
+- first decoding failure = any bit mismatch vs the oracle codeword
+  (decoder.py:565-581), not syndrome success;
+- ``re_decode`` counters: bits where the decoder output differs from the
+  channel hard decision (LLR >= 0 -> 0), thresholded at 140 to report
+  "erasure strands" (decoder.py:544, 571-573, 591);
+- annealing: epsil2 starts at eps-0.0005; each round rescales the ORIGINAL
+  soft values by log((1-eps')/eps')/log((1-eps)/eps) with
+  eps' = epsil2-0.0005 (zeros stay zero), decrements epsil2 by 0.0005, and
+  stops when no failures remain or epsil2 <= 0.001 (decoder.py:594-664).
+
+Reference quirk NOT reproduced by default: the reference's second-decoding
+loop resets its failure list inside the per-codeword loop
+(decoder.py:660-662), so only the LAST re-decoded codeword's failure
+survives a round — earlier failures are silently dropped from subsequent
+rounds (and from the final report). The bundled golden trials are
+unaffected (their failure sets make both semantics identical);
+``strict_reference_failure_tracking=True`` reproduces the literal behavior.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Sequence
+
+import numpy as np
+
+from ..models.codebook import N_STRANDS, PAYLOAD_BITS
+from ..models.ldpc_graph import LdpcGraph
+from ..models.rs_ldpc import dna_storage_pchk
+from ..ops.bp import bp_decode
+from .llr import Aligner, FilteredReads, compute_trial_llrs, rs_filter_reads
+
+ERASURE_THRESHOLD = 140  # decoder.py:591
+
+
+@dataclass
+class TrialConfig:
+    epsil: float = 0.02
+    max_iter: int = 200          # def_func.py:49 (ldpc argv max_iter)
+    anneal_step: float = 0.0005
+    anneal_floor: float = 0.001
+    strict_reference_failure_tracking: bool = False
+    max_decode_batch: int = 1024
+
+
+@dataclass
+class TrialResult:
+    success: bool
+    fail_first: list[int]        # 1-based codeword indices, first decoding
+    fail_final: list[int]
+    n_anneal_iters: int
+    n_erasure_strands: int
+    decoded_bits: np.ndarray     # [272, 18432] final decoder outputs
+    total_time: float
+    phase_times: dict = field(default_factory=dict)
+    n_reads_kept: int = 0
+
+
+_graph_cache: dict[int, LdpcGraph] = {}
+
+
+def deployed_graph() -> LdpcGraph:
+    if 0 not in _graph_cache:
+        _graph_cache[0] = LdpcGraph.from_sparse(dna_storage_pchk())
+    return _graph_cache[0]
+
+
+def _decode_batch(graph, llrs: np.ndarray, max_iter: int) -> np.ndarray:
+    """BP-decode [K, N] float soft values -> [K, N] hard outputs."""
+    import jax.numpy as jnp
+
+    res = bp_decode(graph, jnp.asarray(llrs.astype(np.float32)), max_iter=max_iter)
+    return np.asarray(res.bits)
+
+
+def decode_trial(
+    reads: Sequence[str],
+    quals: Sequence[str | int],
+    codewords: np.ndarray,
+    config: TrialConfig = TrialConfig(),
+    aligner: Aligner | None = None,
+    graph: LdpcGraph | None = None,
+) -> TrialResult:
+    """Decode one trial. codewords: [272, 18432] oracle bits (the shipped
+    ``codeword_n18432_m1860_*`` files), used for error counting exactly as
+    the reference does."""
+    t_start = time.time()
+    graph = graph or deployed_graph()
+    phase = {}
+
+    t0 = time.time()
+    filtered = rs_filter_reads(reads, quals)
+    phase["rs_decode"] = time.time() - t0
+
+    t0 = time.time()
+    llr_table = compute_trial_llrs(filtered, config.epsil, aligner)  # [18432, 272]
+    soft = llr_table.T.copy()  # [272, 18432] per-codeword soft inputs
+    phase["llr"] = time.time() - t0
+
+    # ---- first decoding: all 272 codewords in one batch --------------------
+    t0 = time.time()
+    dec = _decode_batch(graph, soft, config.max_iter)
+    phase["first_decode"] = time.time() - t0
+
+    hard = (soft < 0).astype(np.uint8)  # LLR >= 0 -> 0 (decoder.py:565-571)
+    re_decode = (dec != hard).sum(axis=0)  # [18432] per-strand flip counts
+    n_erasure = int((re_decode > ERASURE_THRESHOLD).sum())
+
+    errs = (dec != codewords).sum(axis=1)
+    fail_first = [int(i) + 1 for i in np.nonzero(errs)[0]]
+
+    # ---- second decoding: epsilon annealing --------------------------------
+    t0 = time.time()
+    fail = list(fail_first)
+    n_iters = 0
+    epsil2 = config.epsil - config.anneal_step
+    base_mag = np.log((1 - config.epsil) / config.epsil)
+    while fail and epsil2 > config.anneal_floor:
+        n_iters += 1
+        eps_eff = epsil2 - config.anneal_step
+        scale = np.log((1 - eps_eff) / eps_eff) / base_mag
+        idx = np.array(fail) - 1
+        re_soft = soft[idx] * scale  # zeros stay zero
+        epsil2 -= config.anneal_step
+
+        dec_f = _decode_batch(graph, re_soft, config.max_iter)
+        dec[idx] = dec_f
+        errs_f = (dec_f != codewords[idx]).sum(axis=1)
+        if config.strict_reference_failure_tracking:
+            # literal decoder.py:660-662: only the last failure survives
+            fail = [fail[-1]] if errs_f[-1] != 0 else []
+        else:
+            fail = [int(fail[k]) for k in range(len(fail)) if errs_f[k] != 0]
+    phase["second_decode"] = time.time() - t0
+
+    return TrialResult(
+        success=not fail,
+        fail_first=fail_first,
+        fail_final=fail,
+        n_anneal_iters=n_iters,
+        n_erasure_strands=n_erasure,
+        decoded_bits=dec,
+        total_time=time.time() - t_start,
+        phase_times=phase,
+        n_reads_kept=len(filtered.payloads),
+    )
