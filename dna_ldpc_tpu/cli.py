@@ -1,0 +1,127 @@
+"""Command-line interface for the decoding pipeline.
+
+Mirrors the reference experiment driver's contract
+(``ex_decoder/decoder.py:21-28``; README "Codes" section):
+
+    python -m dna_ldpc_tpu.cli decode --rs 72000 --start 0 --end 10 \
+        --epsil 0.02 --data-dir <dir with 72000_RS_<t>.txt / _Q_<t>.txt> \
+        --codeword-dir <dir with codeword_n18432_m1860_*.txt>
+
+reading per-trial read/quality files, decoding, and writing
+``o_/x_<rs>_<trial>_<eps>_result.txt`` report files. A ``simulate``
+subcommand generates synthetic trials from an oligo pool (standing in for
+the repo's missing read blobs) with the same downstream flow.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def _load_codewords(codeword_dir: str) -> np.ndarray:
+    from .utils.io_formats import read_vector
+
+    return np.stack(
+        [
+            read_vector(os.path.join(codeword_dir, f"codeword_n18432_m1860_{i}.txt"))
+            for i in range(1, 273)
+        ]
+    )
+
+
+def cmd_decode(args) -> int:
+    from .pipeline.decode import TrialConfig, decode_trial
+    from .pipeline.report import write_result
+    from .utils.io_formats import read_lines
+
+    codewords = _load_codewords(args.codeword_dir)
+    config = TrialConfig(epsil=args.epsil, max_iter=args.max_iter)
+    rc = 0
+    for trial in range(args.start, args.end):
+        reads_path = os.path.join(args.data_dir, f"{args.rs}_RS_{trial}.txt")
+        quals_path = os.path.join(args.data_dir, f"{args.rs}_RS_Q_{trial}.txt")
+        if not os.path.exists(reads_path):
+            print("************** No random sampling file! **************")
+            break
+        print("************** Read random sampling file! **************")
+        reads = read_lines(reads_path)
+        quals = read_lines(quals_path)
+        result = decode_trial(reads, quals, codewords, config)
+        path = write_result(result, args.rs, trial, args.epsil, args.out_dir)
+        status = "success" if result.success else "FAILURE"
+        print(
+            f"trial {trial}: {status}; first {272 - len(result.fail_first)}/272, "
+            f"anneal iters {result.n_anneal_iters}; report -> {path}"
+        )
+        if not result.success:
+            rc = 1
+    return rc
+
+
+def cmd_simulate(args) -> int:
+    from .pipeline.decode import TrialConfig, decode_trial
+    from .pipeline.report import write_result
+    from .pipeline.simulate import ChannelModel, load_oligos, simulate_reads
+
+    codewords = _load_codewords(args.codeword_dir)
+    oligos = load_oligos(args.oligos)
+    channel = ChannelModel(
+        substitution=args.sub_rate, insertion=args.ins_rate, deletion=args.del_rate
+    )
+    config = TrialConfig(epsil=args.epsil, max_iter=args.max_iter)
+    rc = 0
+    for trial in range(args.start, args.end):
+        reads, quals = simulate_reads(oligos, args.rs, channel, seed=args.seed + trial)
+        result = decode_trial(reads, quals, codewords, config)
+        path = write_result(result, args.rs, trial, args.epsil, args.out_dir)
+        status = "success" if result.success else "FAILURE"
+        print(
+            f"trial {trial}: {status}; first {272 - len(result.fail_first)}/272, "
+            f"anneal iters {result.n_anneal_iters}; report -> {path}"
+        )
+        if not result.success:
+            rc = 1
+    return rc
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="dna-ldpc-tpu", description="Decoding of the sequenced DNA data (TPU-native)"
+    )
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument("--rs", type=int, default=70000, help="Random sampling number")
+    common.add_argument("--start", type=int, default=0, help="Iteration start number")
+    common.add_argument("--end", type=int, default=10, help="Iteration end number")
+    common.add_argument("--epsil", type=float, default=0.03, help="Epsilon value")
+    common.add_argument("--max-iter", type=int, default=200, help="BP iterations")
+    common.add_argument("--codeword-dir", default=".", help="codeword_n18432_m1860_* dir")
+    common.add_argument("--out-dir", default=".", help="where to write result files")
+
+    d = sub.add_parser("decode", parents=[common], help="decode sampled-read trial files")
+    d.add_argument("--data-dir", default=".", help="dir with <rs>_RS_<t>.txt files")
+    d.set_defaults(fn=cmd_decode)
+
+    s = sub.add_parser("simulate", parents=[common], help="simulate + decode trials")
+    s.add_argument("--oligos", required=True, help="encoded oligo pool (final_DNA.txt)")
+    s.add_argument("--sub-rate", type=float, default=0.01)
+    s.add_argument("--ins-rate", type=float, default=0.0)
+    s.add_argument("--del-rate", type=float, default=0.0)
+    s.add_argument("--seed", type=int, default=0)
+    s.set_defaults(fn=cmd_simulate)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    print(args)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,313 @@
+"""MUSCLE-v5-equivalent multiple sequence alignment (MPC pipeline).
+
+From-scratch re-design of the reference's vendored MUSCLE v5 ``-align``
+path (``MUSCLE/src/mpcflat.cpp:288-313`` Run sequence):
+
+1. all C(n,2) pair posteriors via the batched pair HMM (ops/msa/pairhmm,
+   replacing the OpenMP loop at mpcflat.cpp:246-254);
+2. consistency transform x2 (skipped for <3 sequences, mpcflat.cpp:185):
+   P'_XY = (2 P_XY + sum_{Z != X,Y} P_XZ @ P_ZY) / n, support restricted
+   to the original sparsity pattern (conspairflat.cpp:29-31 factor 2,
+   MySparseMx::UpdateFromPost divide-by-SeqCount). The sparse
+   triple-products of relaxflat.cpp become small dense matmuls here —
+   L x L with L <= ~160, an MXU-shaped operation;
+3. guide tree: UPGMA5 with biased linkage on 1 - EA distances
+   (EA = MEA-score/min(LX,LY), calcposteriorflat.cpp:85; FixEADistMx,
+   upgma5.cpp:423-438; LINKAGE_Biased = 0.1*avg + 0.9*min,
+   upgma5.cpp:228-230);
+4. progressive alignment along the join order: profile-profile posterior
+   (BuildPost, buildpostflat.cpp:18-100), MEA DP with B>=X>=Y tie
+   preference (CalcAlnFlat/Best3), gap insertion by path
+   (AlignAlns, alnalnsflat.cpp);
+5. iterative refinement x100: random bipartition re-alignment
+   (RefineIter, refineflat.cpp:4-31; rand()%2 -> seeded RNG here),
+   skipped for <3 sequences (mpcflat.cpp:257-267).
+
+Output rows are returned in input order together with their input
+ordinals, matching what the pipeline's aligner interface expects.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .pairhmm import MIN_SPARSE_PROB, pair_fwd_bwd, posterior_from_sweeps
+
+CONSISTENCY_ITERS = 2   # pairhmm.h:8
+REFINE_ITERS = 100      # pairhmm.h:9
+GAP = ord("-")
+
+
+# ---------------------------------------------------------------------------
+# MEA alignment DP (CalcAlnFlat + TraceBackFlat)
+# ---------------------------------------------------------------------------
+
+
+def _mea_sweep(post: np.ndarray, want_tb: bool):
+    """Antidiagonal max-DP sweep. The cell recurrence of calcalnflat.cpp
+    (B = diag + post, X = up, Y = left; tie preference B >= X >= Y from
+    Best3's argument order) depends only on the previous two antidiagonals,
+    so each of the LX+LY steps is one vectorized slab update instead of a
+    scalar inner loop."""
+    LX, LY = post.shape
+    W = LX + 1
+    NEG = np.float32(-np.inf)
+    prev2 = np.full(W, NEG, np.float32)
+    prev1 = np.full(W, NEG, np.float32)
+    prev2[0] = 0.0       # (0,0)
+    if LX >= 1:
+        prev1[1] = 0.0   # (1,0)
+    prev1[0] = 0.0       # (0,1) if LY >= 1
+    tb = np.full((LX + 1, LY + 1), b"Y", dtype="S1") if want_tb else None
+    if want_tb:
+        tb[1:, 0] = b"X"
+    i_all = np.arange(W)
+    for d in range(2, LX + LY + 1):
+        i_lo, i_hi = max(0, d - LY), min(d, LX)
+        i = i_all[i_lo : i_hi + 1]
+        j = d - i
+        ok_b = (i >= 1) & (j >= 1)
+        pB = np.where(
+            ok_b,
+            prev2[np.maximum(i - 1, 0)]
+            + post[np.maximum(i - 1, 0), np.maximum(j - 1, 0)] * ok_b,
+            NEG,
+        )
+        pX = np.where(i >= 1, prev1[np.maximum(i - 1, 0)], NEG)
+        pY = np.where(j >= 1, prev1[i], NEG)
+        # boundary cells (i==0 or j==0) have value 0
+        best = np.maximum(np.maximum(pB, pX), pY)
+        boundary = (i == 0) | (j == 0)
+        best = np.where(boundary, 0.0, best)
+        cur = np.full(W, NEG, np.float32)
+        cur[i_lo : i_hi + 1] = best
+        if want_tb:
+            choice = np.where(
+                pB >= np.maximum(pX, pY), b"B", np.where(pX >= pY, b"X", b"Y")
+            )
+            choice = np.where(boundary & (i > 0), b"X", choice)
+            choice = np.where(boundary & (i == 0), b"Y", choice)
+            tb[i, j] = choice
+        prev2, prev1 = prev1, cur
+    score = float(prev1[LX]) if LX + LY >= 1 else 0.0
+    return score, tb
+
+
+def mea_align(post: np.ndarray) -> tuple[float, str]:
+    """MEA DP + traceback; path chars 'B' (both), 'X', 'Y'."""
+    LX, LY = post.shape
+    score, tb = _mea_sweep(post, want_tb=True)
+    path = []
+    i, j = LX, LY
+    while i or j:
+        c = tb[i, j]
+        path.append(c)
+        if c == b"B":
+            i, j = i - 1, j - 1
+        elif c == b"X":
+            i -= 1
+        else:
+            j -= 1
+    return score, b"".join(reversed(path)).decode()
+
+
+def mea_score(post: np.ndarray) -> float:
+    """Score-only sweep (CalcAlnScoreFlat) for EA distances."""
+    return _mea_sweep(post, want_tb=False)[0]
+
+
+# ---------------------------------------------------------------------------
+# UPGMA5 (biased linkage) + join order
+# ---------------------------------------------------------------------------
+
+
+def upgma_join_order(dist: np.ndarray) -> list[tuple[int, int]]:
+    """UPGMA clustering with LINKAGE_Biased; returns the join list in
+    creation order, node ids: leaves 0..n-1, internal n+k for join k —
+    the exact structure ProgressiveAlign consumes (progalnflat.cpp)."""
+    n = dist.shape[0]
+    D = dist.astype(np.float64).copy()
+    np.fill_diagonal(D, np.inf)
+    active = list(range(n))
+    node_of = {i: i for i in range(n)}
+    joins = []
+    next_node = n
+    for _ in range(n - 1):
+        # find global nearest pair among active rows
+        sub = D[np.ix_(active, active)]
+        k = int(np.argmin(sub))
+        ai, aj = divmod(k, len(active))
+        i, j = active[ai], active[aj]
+        joins.append((node_of[i], node_of[j]))
+        # merge j into i with biased linkage
+        for m in active:
+            if m in (i, j):
+                continue
+            dm = 0.1 * (D[i, m] + D[j, m]) / 2 + 0.9 * min(D[i, m], D[j, m])
+            D[i, m] = D[m, i] = dm
+        active.remove(j)
+        node_of[i] = next_node
+        next_node += 1
+    return joins
+
+
+# ---------------------------------------------------------------------------
+# Profiles and gap insertion
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class _Profile:
+    rows: list[np.ndarray]      # aligned byte rows (with gaps)
+    seq_ids: list[int]          # input ordinal of each row
+    pos_to_col: list[np.ndarray]  # per row: letter position -> column
+
+
+def _leaf_profile(seq_bytes: np.ndarray, seq_id: int) -> _Profile:
+    return _Profile(
+        rows=[seq_bytes],
+        seq_ids=[seq_id],
+        pos_to_col=[np.arange(len(seq_bytes))],
+    )
+
+
+def _insert_gaps(row: np.ndarray, path: str, side: str) -> np.ndarray:
+    out = np.empty(len(path), dtype=np.uint8)
+    p = 0
+    take = ("B", side)
+    for k, c in enumerate(path):
+        if c in take:
+            out[k] = row[p]
+            p += 1
+        else:
+            out[k] = GAP
+    return out
+
+
+def _profile_from_rows(rows, seq_ids) -> _Profile:
+    pos_to_col = []
+    for r in rows:
+        pos_to_col.append(np.nonzero(r != GAP)[0])
+    return _Profile(rows=list(rows), seq_ids=list(seq_ids), pos_to_col=pos_to_col)
+
+
+def _align_profiles(p1: _Profile, p2: _Profile, posts: dict) -> _Profile:
+    c1 = len(p1.rows[0])
+    c2 = len(p2.rows[0])
+    post = np.zeros((c1, c2), dtype=np.float32)
+    for r1, s1 in enumerate(p1.seq_ids):
+        cols1 = p1.pos_to_col[r1]
+        for r2, s2 in enumerate(p2.seq_ids):
+            cols2 = p2.pos_to_col[r2]
+            if s1 < s2:
+                Pm = posts[(s1, s2)]
+                post[np.ix_(cols1, cols2)] += Pm
+            else:
+                Pm = posts[(s2, s1)]
+                post[np.ix_(cols1, cols2)] += Pm.T
+    _, path = mea_align(post)
+    rows = [_insert_gaps(r, path, "X") for r in p1.rows] + [
+        _insert_gaps(r, path, "Y") for r in p2.rows
+    ]
+    return _profile_from_rows(rows, p1.seq_ids + p2.seq_ids)
+
+
+# ---------------------------------------------------------------------------
+# Top-level MPC pipeline
+# ---------------------------------------------------------------------------
+
+
+def align(
+    seqs: list[str],
+    refine_iters: int = REFINE_ITERS,
+    consistency_iters: int = CONSISTENCY_ITERS,
+    seed: int = 0,
+) -> list[tuple[int, str]]:
+    """Align sequences; returns [(input ordinal, aligned row)] in input
+    order. Single sequence passes through unchanged."""
+    n = len(seqs)
+    if n == 0:
+        return []
+    if n == 1:
+        return [(0, seqs[0])]
+
+    # 1. pair posteriors (batched pair HMM) + EA distances
+    pairs = [(i, j) for i in range(n) for j in range(i + 1, n)]
+    fwd, w, lx, ly = pair_fwd_bwd([seqs[i] for i, _ in pairs], [seqs[j] for _, j in pairs])
+    posts: dict[tuple[int, int], np.ndarray] = {}
+    dist = np.zeros((n, n), dtype=np.float64)
+    for p, (i, j) in enumerate(pairs):
+        post, _ = posterior_from_sweeps(fwd, w, int(lx[p]), int(ly[p]), p)
+        posts[(i, j)] = post
+        ea = mea_score(post) / min(len(seqs[i]), len(seqs[j]))
+        dist[i, j] = dist[j, i] = 1.0 - min(max(ea, 0.0), 1.0)  # FixEADistMx
+
+    # 2. consistency transform (skip for < 3 seqs, mpcflat.cpp:185-193)
+    if n >= 3:
+        for _ in range(consistency_iters):
+            new_posts = {}
+            for (i, j), Pij in posts.items():
+                acc = 2.0 * Pij  # Z=X and Z=Y terms (conspairflat.cpp:29-31)
+                for z in range(n):
+                    if z == i or z == j:
+                        continue
+                    Piz = posts[(i, z)] if i < z else posts[(z, i)].T
+                    Pzj = posts[(z, j)] if z < j else posts[(j, z)].T
+                    acc = acc + Piz @ Pzj
+                upd = acc / n
+                # support limited to the old sparsity pattern
+                # (UpdateFromPost keeps only existing entries)
+                upd[Pij < MIN_SPARSE_PROB] = 0.0
+                new_posts[(i, j)] = upd
+            posts = new_posts
+
+    # 3. guide tree + join order
+    joins = upgma_join_order(dist)
+
+    # 4. progressive alignment
+    nodes: dict[int, _Profile] = {
+        i: _leaf_profile(np.frombuffer(seqs[i].encode("latin1"), np.uint8).copy(), i)
+        for i in range(n)
+    }
+    next_id = n
+    for a, b in joins:
+        prof = _align_profiles(nodes.pop(a), nodes.pop(b), posts)
+        nodes[next_id] = prof
+        next_id += 1
+    final = nodes[next_id - 1]
+
+    # 5. refinement (skip for < 3 seqs, mpcflat.cpp:257-267)
+    if n >= 3 and refine_iters:
+        rng = np.random.default_rng(seed)
+        for _ in range(refine_iters):
+            mask = rng.integers(0, 2, n).astype(bool)
+            if mask.all() or not mask.any():
+                continue
+            g1 = [r for r, keep in enumerate(mask) if keep]
+            g2 = [r for r, keep in enumerate(mask) if not keep]
+            final = _refine_split(final, g1, g2, posts)
+
+    out = []
+    order = np.argsort(final.seq_ids)
+    for r in order:
+        out.append((final.seq_ids[r], final.rows[r].tobytes().decode("latin1")))
+    return out
+
+
+def _project(profile: _Profile, row_ids: list[int]) -> _Profile:
+    """Subset rows and drop all-gap columns (MultiSequence::Project)."""
+    rows = [profile.rows[r] for r in row_ids]
+    ids = [profile.seq_ids[r] for r in row_ids]
+    mat = np.stack(rows)
+    keep = ~(mat == GAP).all(axis=0)
+    return _profile_from_rows([r[keep] for r in mat], ids)
+
+
+def _refine_split(final: _Profile, g1, g2, posts) -> _Profile:
+    # g1/g2 index into final's row order by *input ordinal*
+    id_to_row = {sid: r for r, sid in enumerate(final.seq_ids)}
+    p1 = _project(final, [id_to_row[s] for s in g1 if s in id_to_row])
+    p2 = _project(final, [id_to_row[s] for s in g2 if s in id_to_row])
+    return _align_profiles(p1, p2, posts)

@@ -99,6 +99,10 @@ def decode_trial(
     the reference does."""
     t_start = time.time()
     graph = graph or deployed_graph()
+    if aligner is None:
+        from ..ops.msa import msa_aligner
+
+        aligner = msa_aligner
     phase = {}
 
     t0 = time.time()

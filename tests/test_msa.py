@@ -1,0 +1,131 @@
+"""MSA engine tests: pair-HMM vs scalar oracle, MEA DP vs scalar DP,
+UPGMA structure, and end-to-end alignment quality on mutated reads."""
+
+import random
+
+import numpy as np
+import pytest
+
+from dna_ldpc_tpu.ops.msa import align, mea_align, mea_score, msa_aligner, upgma_join_order
+from dna_ldpc_tpu.ops.msa.pairhmm import pair_fwd_bwd, posterior_from_sweeps
+
+from oracle_pairhmm import oracle_posterior
+
+
+def _rand_seq(rng, n):
+    return "".join(rng.choice("ACGT") for _ in range(n))
+
+
+def _mutate(rng, s, subs=0, dels=0, inss=0):
+    s = list(s)
+    for _ in range(subs):
+        s[rng.randrange(len(s))] = rng.choice("ACGT")
+    for _ in range(dels):
+        del s[rng.randrange(len(s))]
+    for _ in range(inss):
+        s.insert(rng.randrange(len(s)), rng.choice("ACGT"))
+    return "".join(s)
+
+
+def test_pairhmm_matches_oracle():
+    rng = random.Random(0)
+    xs, ys = [], []
+    for _ in range(6):
+        xs.append(_rand_seq(rng, rng.randint(4, 14)))
+        ys.append(_rand_seq(rng, rng.randint(4, 14)))
+    fwd, w, lx, ly = pair_fwd_bwd(xs, ys)
+    for p in range(len(xs)):
+        mp, mt = posterior_from_sweeps(fwd, w, int(lx[p]), int(ly[p]), p)
+        op, ot = oracle_posterior(xs[p], ys[p])
+        assert abs(mt - ot) < 1e-3
+        np.testing.assert_allclose(mp, op, atol=2e-4)
+
+
+def test_pairhmm_related_sequences_high_posterior():
+    rng = random.Random(1)
+    base = _rand_seq(rng, 60)
+    other = _mutate(rng, base, subs=2, dels=1)
+    fwd, w, lx, ly = pair_fwd_bwd([base], [other])
+    post, _ = posterior_from_sweeps(fwd, w, int(lx[0]), int(ly[0]), 0)
+    # most positions should confidently align to their counterpart
+    assert (post.max(axis=1) > 0.9).mean() > 0.8
+
+
+def test_mea_dp_matches_scalar():
+    rng = np.random.default_rng(2)
+    for _ in range(10):
+        LX, LY = rng.integers(1, 15, 2)
+        post = (rng.random((LX, LY)) * (rng.random((LX, LY)) < 0.3)).astype(np.float32)
+        # scalar reference DP (calcalnflat.cpp recurrence)
+        dp = np.zeros((LX + 1, LY + 1), np.float32)
+        for i in range(1, LX + 1):
+            for j in range(1, LY + 1):
+                dp[i, j] = max(dp[i - 1, j - 1] + post[i - 1, j - 1], dp[i - 1, j], dp[i, j - 1])
+        assert abs(mea_score(post) - dp[LX, LY]) < 1e-5
+        score, path = mea_align(post)
+        assert abs(score - dp[LX, LY]) < 1e-5
+        # path must be a valid edit script covering both sequences
+        nx = sum(c in "BX" for c in path)
+        ny = sum(c in "BY" for c in path)
+        assert (nx, ny) == (LX, LY)
+
+
+def test_upgma_join_order_valid():
+    rng = np.random.default_rng(3)
+    n = 7
+    d = rng.random((n, n))
+    d = (d + d.T) / 2
+    np.fill_diagonal(d, 0)
+    joins = upgma_join_order(d)
+    assert len(joins) == n - 1
+    # simulate pending-set semantics (ValidateJoinOrder)
+    pending = set(range(n))
+    for k, (a, b) in enumerate(joins):
+        assert a in pending and b in pending and a != b
+        pending -= {a, b}
+        pending.add(n + k)
+    assert len(pending) == 1
+
+
+def test_align_identical_sequences():
+    seqs = ["ACGTACGTAA"] * 3
+    rows = align(seqs, refine_iters=5)
+    assert [r for _, r in rows] == seqs
+    assert [o for o, _ in rows] == [0, 1, 2]
+
+
+def test_align_indel_reads_reconstruct_consensus():
+    rng = random.Random(4)
+    base = _rand_seq(rng, 136)
+    reads = [base] + [
+        _mutate(rng, base, subs=rng.randint(0, 3), dels=rng.randint(0, 2), inss=rng.randint(0, 1))
+        for _ in range(4)
+    ]
+    rows = msa_aligner(reads, refine_iters=20)
+    mat = np.stack([np.frombuffer(r.encode(), np.uint8) for _, r in rows])
+    width = mat.shape[1]
+    assert 136 <= width <= 142
+    # column-majority consensus restricted to the reference row's letters
+    # must equal the original base sequence
+    ref_row = mat[[o for o, _ in rows].index(0)]
+    keep = ref_row != ord("-")
+    consensus = []
+    for c in np.nonzero(keep)[0]:
+        col = mat[:, c]
+        col = col[col != ord("-")]
+        vals, counts = np.unique(col, return_counts=True)
+        consensus.append(vals[np.argmax(counts)])
+    consensus = bytes(consensus).decode()
+    mismatches = sum(a != b for a, b in zip(consensus, base))
+    assert mismatches <= 3
+
+
+def test_two_sequence_align_no_consistency_no_refine():
+    rng = random.Random(5)
+    base = _rand_seq(rng, 50)
+    reads = [base, _mutate(rng, base, dels=2)]
+    rows = align(reads)
+    assert len(rows) == 2
+    w = len(rows[0][1])
+    assert len(rows[1][1]) == w
+    assert rows[1][1].count("-") == 2
