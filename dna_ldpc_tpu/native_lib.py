@@ -1,0 +1,156 @@
+"""Build/load the native host-side ingest library (native/ingest.cpp).
+
+The shared object is compiled on first use with g++ -O3 into a cache
+directory and bound via ctypes (no pybind11 dependency). Every entry point
+has a pure-numpy fallback with identical semantics, so the framework works
+without a toolchain; the native path accelerates trial ingest (per-cluster
+LLR counting and the edit-distance pre-filter).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import tempfile
+
+import numpy as np
+
+_SRC = os.path.join(os.path.dirname(__file__), "..", "native", "ingest.cpp")
+_lib = None
+_lib_tried = False
+
+
+def _build_and_load():
+    global _lib, _lib_tried
+    if _lib_tried:
+        return _lib
+    _lib_tried = True
+    src = os.path.abspath(_SRC)
+    if not os.path.exists(src):
+        return None
+    cache_dir = os.path.join(
+        os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")), "dna_ldpc_tpu"
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    so_path = os.path.join(cache_dir, "ingest.so")
+    try:
+        if (not os.path.exists(so_path)) or os.path.getmtime(so_path) < os.path.getmtime(src):
+            with tempfile.TemporaryDirectory() as td:
+                tmp = os.path.join(td, "ingest.so")
+                subprocess.run(
+                    ["g++", "-O3", "-march=native", "-shared", "-fPIC", src, "-o", tmp],
+                    check=True,
+                    capture_output=True,
+                )
+                os.replace(tmp, so_path)
+        lib = ctypes.CDLL(so_path)
+    except (OSError, subprocess.CalledProcessError):
+        return None
+
+    i8p = ctypes.POINTER(ctypes.c_uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    lib.count_trial_llrs.argtypes = [
+        i8p, i64p, i32p, i64p, i64p, i64p, i32p,
+        ctypes.c_int64, ctypes.c_double, f64p, i32p,
+    ]
+    lib.edit_distance_batch.argtypes = [i8p, i64p, i32p, i32p, i32p, ctypes.c_int64, i32p]
+    f32p = ctypes.POINTER(ctypes.c_float)
+    charp = ctypes.c_char_p
+    lib.mea_align.argtypes = [f32p, ctypes.c_int32, ctypes.c_int32, charp, charp, i32p, f32p]
+    lib.mea_score.argtypes = [f32p, ctypes.c_int32, ctypes.c_int32, f32p]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _build_and_load() is not None
+
+
+def _ptr(arr, ctype):
+    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def count_trial_llrs_native(
+    bytes_buf: np.ndarray,
+    offsets: np.ndarray,
+    lengths: np.ndarray,
+    quals: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    strand_of_cluster: np.ndarray,
+    mag: float,
+    llr_out: np.ndarray,
+) -> np.ndarray:
+    """Returns per-cluster status (0 = counted natively, 1 = needs the
+    Python/MSA path). llr_out [18432, 272] is written in place."""
+    lib = _build_and_load()
+    assert lib is not None
+    n = len(starts)
+    status = np.zeros(n, dtype=np.int32)
+    lib.count_trial_llrs(
+        _ptr(bytes_buf, ctypes.c_uint8),
+        _ptr(offsets, ctypes.c_int64),
+        _ptr(lengths, ctypes.c_int32),
+        _ptr(quals, ctypes.c_int64),
+        _ptr(starts, ctypes.c_int64),
+        _ptr(ends, ctypes.c_int64),
+        _ptr(strand_of_cluster, ctypes.c_int32),
+        ctypes.c_int64(n),
+        ctypes.c_double(mag),
+        _ptr(llr_out, ctypes.c_double),
+        _ptr(status, ctypes.c_int32),
+    )
+    return status
+
+
+def edit_distance_batch_native(
+    bytes_buf: np.ndarray,
+    offsets: np.ndarray,
+    lengths: np.ndarray,
+    pairs_a: np.ndarray,
+    pairs_b: np.ndarray,
+) -> np.ndarray:
+    lib = _build_and_load()
+    assert lib is not None
+    out = np.zeros(len(pairs_a), dtype=np.int32)
+    lib.edit_distance_batch(
+        _ptr(bytes_buf, ctypes.c_uint8),
+        _ptr(offsets, ctypes.c_int64),
+        _ptr(lengths, ctypes.c_int32),
+        _ptr(np.ascontiguousarray(pairs_a, np.int32), ctypes.c_int32),
+        _ptr(np.ascontiguousarray(pairs_b, np.int32), ctypes.c_int32),
+        ctypes.c_int64(len(pairs_a)),
+        _ptr(out, ctypes.c_int32),
+    )
+    return out
+
+
+def mea_align_native(post: np.ndarray) -> tuple[float, str]:
+    """Native MEA DP + traceback; post: [LX, LY] float32 C-contiguous."""
+    lib = _build_and_load()
+    assert lib is not None
+    post = np.ascontiguousarray(post, np.float32)
+    LX, LY = post.shape
+    tb = ctypes.create_string_buffer((LX + 1) * (LY + 1))
+    path = ctypes.create_string_buffer(LX + LY + 1)
+    n = np.zeros(1, np.int32)
+    score = np.zeros(1, np.float32)
+    lib.mea_align(
+        _ptr(post, ctypes.c_float), ctypes.c_int32(LX), ctypes.c_int32(LY),
+        tb, path, _ptr(n, ctypes.c_int32), _ptr(score, ctypes.c_float),
+    )
+    return float(score[0]), path.raw[: int(n[0])].decode()
+
+
+def mea_score_native(post: np.ndarray) -> float:
+    lib = _build_and_load()
+    assert lib is not None
+    post = np.ascontiguousarray(post, np.float32)
+    LX, LY = post.shape
+    score = np.zeros(1, np.float32)
+    lib.mea_score(_ptr(post, ctypes.c_float), ctypes.c_int32(LX), ctypes.c_int32(LY),
+                  _ptr(score, ctypes.c_float))
+    return float(score[0])

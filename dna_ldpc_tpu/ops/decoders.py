@@ -124,6 +124,36 @@ def min_sum_decode(
     return _min_sum_jit(graph, max_iter, float(offset), float(normalize))(llr, tie_bits)
 
 
+def quantize_llr(llr: jax.Array, precision: int, step: float) -> jax.Array:
+    """Uniform LLR quantizer of the reference (Cal_MSA_Q, dec.cpp:
+    1708-1765 / Set_MSA): integer levels round(LLR/step) clipped to
+    +/-(2^(precision-1) - 1)."""
+    lim = float((1 << (precision - 1)) - 1)
+    q = jnp.round(jnp.asarray(llr) / step)
+    return jnp.clip(q, -lim, lim)
+
+
+def quantized_min_sum_decode(
+    graph: LdpcGraph,
+    llr: jax.Array,
+    precision: int = 5,
+    step: float = 0.5,
+    max_iter: int = 200,
+    offset: float = 0.0,
+    tie_seed: int = 0,
+) -> BpResult:
+    """Quantized offset min-sum (Run_MSA_Decoder, dec.cpp:1174-1436):
+    channel LLRs quantized to ``precision``-bit integer levels with step
+    size ``step``; the integer offset ``offset`` is subtracted in the
+    check update (offset_beta). Message arithmetic runs on the integer
+    levels (carried in f32 lanes — exact for these magnitudes)."""
+    llr = jnp.atleast_2d(jnp.asarray(llr, jnp.float32))
+    q = quantize_llr(llr, precision, step)
+    key = jax.random.PRNGKey(tie_seed)
+    tie_bits = jax.random.bernoulli(key, 0.5, q.shape).astype(jnp.uint8)
+    return _min_sum_jit(graph, max_iter, float(offset), 1.0)(q, tie_bits)
+
+
 @functools.lru_cache(maxsize=16)
 def _gallager_jit(graph: LdpcGraph, max_iter: int, variant: int):
     tables = graph.device_tables()

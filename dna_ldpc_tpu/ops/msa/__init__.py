@@ -1,6 +1,6 @@
 """MUSCLE-v5-replacement MSA engine (batched pair-HMM MPC pipeline)."""
 
-from .align import align, mea_align, mea_score, upgma_join_order  # noqa: F401
+from .align import align, align_clusters, mea_align, mea_score, upgma_join_order  # noqa: F401
 from .pairhmm import pair_posteriors, pair_fwd_bwd  # noqa: F401
 
 

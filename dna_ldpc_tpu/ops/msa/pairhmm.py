@@ -20,22 +20,25 @@ the START score of the final state as an end factor (bwdflat3.cpp's
 states at (LX, LY) (totalprobflat.cpp).
 
 Backward pass without a second kernel: Bwd[s][i][j] (suffix probability
-given state s at (i,j), emissions of (i,j) excluded — bwdflat3.cpp's
-definition) is computed from an auxiliary W-DP on REVERSED sequences.
-With a = LX-i, b = LY-j,
+given state s at (i,j), its own emission excluded — bwdflat3.cpp's
+definition) comes from an auxiliary W-DP over REVERSED sequences. With
+a = LX-i, b = LY-j,
 
     W[s][a][b] := emit_s(rev chars at (a,b)) *
-                  sum_s'' trans[s][s''] * W[s''][prev_a,b cell of s]
-    W base:       virtual START row with trans[START][s] = start[s]
+                  sum_s'' trans[s][s''] * W[s''][prev cell of s's move]
 
-which is EXACTLY the forward recurrence with the transposed transition
-matrix — so one antidiagonal kernel serves both sweeps — and then
+is EXACTLY the forward recurrence with the TRANSPOSED transition matrix
+(start row unchanged), so one antidiagonal step function serves both
+sweeps, and
 
-    Bwd[s][i][j] = logsumexp_s' ( trans[s][s'] + W[s'][a][b] ),
+    Bwd[M][i][j] = logsumexp_s' ( trans[M][s'] + W[s'][a][b] ),
     Bwd[s][LX][LY] = start[s].
 
 Posterior(i~j) = exp(Fwd_M[i,j] + Bwd_M[i,j] - total), zeroed below 0.01
-(MIN_SPARSE_PROB, mysparsemx.h:3).
+(MIN_SPARSE_PROB, mysparsemx.h:3). The production path
+(``batch_posteriors``) stores only the forward M-plane and the
+trans-folded backward plane and assembles posteriors ON DEVICE — the full
+5-state tensors never leave the chip.
 """
 
 from __future__ import annotations
@@ -53,9 +56,6 @@ MIN_SPARSE_PROB = 0.01
 M, IX, IY, JX, JY = 0, 1, 2, 3, 4
 N_STATE = 5
 START = 5  # virtual start state (row 5 of the 6x5 transition tables)
-
-_X_STATES = (IX, JX)
-_Y_STATES = (IY, JY)
 
 
 @functools.lru_cache(maxsize=None)
@@ -93,7 +93,10 @@ def nucleo_params():
     ins = np.full(5, np.log(0.25), np.float64)
     ins[:4] = np.log(emit.sum(axis=1))
 
-    f32 = lambda a: jnp.asarray(a, jnp.float32)
+    # plain numpy float32 (NOT jnp): this function is lru_cached and may
+    # first be called inside a jit trace — caching jnp arrays there would
+    # poison the cache with tracers.
+    f32 = lambda a: np.asarray(a, np.float32)
     return f32(start), f32(trans), f32(match), f32(ins)
 
 
@@ -102,11 +105,10 @@ def _trans_reversed():
     """6x5 transition table for the W-DP: real rows transposed, START row
     unchanged (= start scores)."""
     _, trans6, _, _ = nucleo_params()
-    t = np.asarray(trans6)
-    out = np.full_like(t, LOG_ZERO)
-    out[:N_STATE, :] = t[:N_STATE, :].T
-    out[START] = t[START]
-    return jnp.asarray(out)
+    out = np.full_like(trans6, np.float32(LOG_ZERO))
+    out[:N_STATE, :] = trans6[:N_STATE, :].T
+    out[START] = trans6[START]
+    return out
 
 
 _ENCODE_TABLE = np.full(256, 4, np.int8)
@@ -125,78 +127,198 @@ def _logsumexp(stack, axis):
     return m + jnp.log(jnp.sum(jnp.exp(stack - jnp.expand_dims(m, axis)), axis=axis))
 
 
+def _diag_step(d, prev2, prev1, X, Y, trans6, match, ins, Lmax, rows):
+    """Compute one antidiagonal slab [P, 6, W] from the previous two."""
+    # parameter tables arrive as host numpy (see nucleo_params); lift to
+    # device constants so traced indexing works
+    trans6, match, ins = jnp.asarray(trans6), jnp.asarray(match), jnp.asarray(ins)
+    P, W = X.shape[0], Lmax + 1
+    j = d - rows
+    xi = jnp.take(X, jnp.clip(rows - 1, 0, Lmax - 1), axis=1)  # [P, W]
+    yj = jnp.take(Y, jnp.clip(j - 1, 0, Lmax - 1), axis=1)
+    m_emit = match[xi, yj]
+    x_emit = ins[xi]
+    y_emit = ins[yj]
+
+    shift = lambda a: jnp.concatenate(
+        [jnp.full(a.shape[:-1] + (1,), LOG_ZERO, a.dtype), a[..., :-1]], axis=-1
+    )
+    p2s = shift(prev2)  # (i-1, j-1)
+    p1s = shift(prev1)  # (i-1, j)
+    p1 = prev1          # (i, j-1)
+
+    cM = _logsumexp(p2s + trans6[:, M][None, :, None], axis=1) + m_emit
+
+    def ins_state(src, s, emit):
+        terms = jnp.stack(
+            [src[:, M] + trans6[M, s], src[:, s] + trans6[s, s],
+             src[:, START] + trans6[START, s]],
+            axis=1,
+        )
+        return _logsumexp(terms, 1) + emit
+
+    cIX = ins_state(p1s, IX, x_emit)
+    cJX = ins_state(p1s, JX, x_emit)
+    cIY = ins_state(p1, IY, y_emit)
+    cJY = ins_state(p1, JY, y_emit)
+
+    j_ok = (j >= 0) & (j <= Lmax)
+    valid = (rows <= jnp.minimum(d, Lmax)) & j_ok
+    mask_m = (rows >= 1) & (j >= 1) & valid
+    mask_x = (rows >= 1) & valid
+    mask_y = (j >= 1) & valid
+
+    neg = jnp.float32(LOG_ZERO)
+    return jnp.stack(
+        [
+            jnp.where(mask_m[None, :], cM, neg),
+            jnp.where(mask_x[None, :], cIX, neg),
+            jnp.where(mask_y[None, :], cIY, neg),
+            jnp.where(mask_x[None, :], cJX, neg),
+            jnp.where(mask_y[None, :], cJY, neg),
+            jnp.full((P, W), neg),  # START lives only at (0,0)
+        ],
+        axis=1,
+    )
+
+
+def _dp_init(P, W):
+    init0 = jnp.full((P, N_STATE + 1, W), LOG_ZERO, jnp.float32)
+    init0 = init0.at[:, START, 0].set(0.0)
+    prevm1 = jnp.full((P, N_STATE + 1, W), LOG_ZERO, jnp.float32)
+    return prevm1, init0
+
+
 @functools.partial(jax.jit, static_argnums=(3,))
 def _diag_dp(X, Y, trans6, Lmax):
-    """Uniform antidiagonal DP (forward or W sweep, set by trans6).
-
-    X, Y: [P, Lmax] int8 symbol codes. Cells within a pair's (lx, ly) box
-    never read pad symbols, so per-pair lengths need no masking here.
-    Returns diags [2*Lmax+1, P, 5, Lmax+1]: V[s][i][j] = diags[i+j, :, s, i].
-    """
+    """Full-tensor DP (testing path). Returns [2*Lmax+1, P, 5, Lmax+1] with
+    V[s][i][j] = diags[i+j, :, s, i]."""
     _, _, match, ins = nucleo_params()
-    P = X.shape[0]
-    W = Lmax + 1
-    D = 2 * Lmax
+    P, W, D = X.shape[0], Lmax + 1, 2 * Lmax
     rows = jnp.arange(W)
 
     def step(d, carry):
         prev2, prev1, out = carry
-        j = d - rows
-        xi = jnp.take(X, jnp.clip(rows - 1, 0, Lmax - 1), axis=1)      # [P, W]
-        yj = jnp.take(Y, jnp.clip(j - 1, 0, Lmax - 1), axis=1)          # [P, W]
-        m_emit = match[xi, yj]
-        x_emit = ins[xi]
-        y_emit = ins[yj]
-
-        shift = lambda a: jnp.concatenate(
-            [jnp.full(a.shape[:-1] + (1,), LOG_ZERO, a.dtype), a[..., :-1]], axis=-1
-        )
-        p2s = shift(prev2)  # (i-1, j-1)
-        p1s = shift(prev1)  # (i-1, j)
-        p1 = prev1          # (i, j-1)
-
-        cM = _logsumexp(p2s + trans6[:, M][None, :, None], axis=1) + m_emit
-        def ins_state(src_vals, s, emit):
-            terms = jnp.stack(
-                [src_vals[:, M] + trans6[M, s],
-                 src_vals[:, s] + trans6[s, s],
-                 src_vals[:, START] + trans6[START, s]],
-                axis=1,
-            )
-            return _logsumexp(terms, 1) + emit
-
-        cIX = ins_state(p1s, IX, x_emit)
-        cJX = ins_state(p1s, JX, x_emit)
-        cIY = ins_state(p1, IY, y_emit)
-        cJY = ins_state(p1, JY, y_emit)
-
-        j_ok = (j >= 0) & (j <= Lmax)
-        valid = (rows <= jnp.minimum(d, Lmax)) & j_ok
-        mask_m = (rows >= 1) & (j >= 1) & valid
-        mask_x = (rows >= 1) & valid
-        mask_y = (j >= 1) & valid
-
-        neg = jnp.float32(LOG_ZERO)
-        cur = jnp.stack(
-            [
-                jnp.where(mask_m[None, :], cM, neg),
-                jnp.where(mask_x[None, :], cIX, neg),
-                jnp.where(mask_y[None, :], cIY, neg),
-                jnp.where(mask_x[None, :], cJX, neg),
-                jnp.where(mask_y[None, :], cJY, neg),
-                jnp.full((P, W), neg),  # START lives only at (0,0)
-            ],
-            axis=1,
-        )
+        cur = _diag_step(d, prev2, prev1, X, Y, trans6, match, ins, Lmax, rows)
         out = jax.lax.dynamic_update_slice(out, cur[None, :, :N_STATE, :], (d, 0, 0, 0))
         return (prev1, cur, out)
 
-    init0 = jnp.full((P, N_STATE + 1, W), LOG_ZERO, jnp.float32)
-    init0 = init0.at[:, START, 0].set(0.0)
+    prevm1, init0 = _dp_init(P, W)
     out = jnp.full((D + 1, P, N_STATE, W), LOG_ZERO, jnp.float32)
-    prevm1 = jnp.full((P, N_STATE + 1, W), LOG_ZERO, jnp.float32)
     _, _, out = jax.lax.fori_loop(1, D + 1, step, (prevm1, init0, out))
     return out
+
+
+@functools.partial(jax.jit, static_argnums=(6,))
+def _posteriors_device(X, Y, Xr, Yr, lx, ly, Lmax):
+    """Both sweeps + on-device posterior assembly.
+
+    Stores only the forward M-plane, the backward plane pre-folded through
+    trans[M][:], and the per-pair forward corner states. Returns
+    (post [P, Lmax, Lmax] sparsified, total [P]).
+    """
+    start, trans6, match, ins = nucleo_params()
+    trans_rev = _trans_reversed()
+    P, W, D = X.shape[0], Lmax + 1, 2 * Lmax
+    rows = jnp.arange(W)
+    end_d = lx + ly  # [P]
+
+    def fwd_step(d, carry):
+        prev2, prev1, m_plane, corner = carry
+        cur = _diag_step(d, prev2, prev1, X, Y, trans6, match, ins, Lmax, rows)
+        m_plane = jax.lax.dynamic_update_slice(m_plane, cur[None, :, M, :], (d, 0, 0))
+        # capture all-state values at the per-pair corner (lx, ly)
+        at_corner = end_d == d
+        corner_vals = jnp.take_along_axis(
+            cur[:, :N_STATE, :], lx[:, None, None].astype(jnp.int32), axis=2
+        )[:, :, 0]
+        corner = jnp.where(at_corner[:, None], corner_vals, corner)
+        return (prev1, cur, m_plane, corner)
+
+    prevm1, init0 = _dp_init(P, W)
+    m_plane0 = jnp.full((D + 1, P, W), LOG_ZERO, jnp.float32)
+    corner0 = jnp.full((P, N_STATE), LOG_ZERO, jnp.float32)
+    # handle pairs with lx+ly == 0 (both empty): corner = init states
+    _, _, m_plane, corner = jax.lax.fori_loop(
+        1, D + 1, fwd_step, (prevm1, init0, m_plane0, corner0)
+    )
+
+    def bwd_step(d, carry):
+        prev2, prev1, b_plane = carry
+        cur = _diag_step(d, prev2, prev1, Xr, Yr, trans_rev, match, ins, Lmax, rows)
+        folded = _logsumexp(cur[:, :N_STATE, :] + trans6[M][None, :, None], axis=1)
+        b_plane = jax.lax.dynamic_update_slice(b_plane, folded[None], (d, 0, 0))
+        return (prev1, cur, b_plane)
+
+    prevm1, init0 = _dp_init(P, W)
+    b_plane0 = jnp.full((D + 1, P, W), LOG_ZERO, jnp.float32)
+    _, _, b_plane = jax.lax.fori_loop(1, D + 1, bwd_step, (prevm1, init0, b_plane0))
+
+    total = _logsumexp(corner + start[None, :], axis=1)  # [P]
+
+    # FM[p, i, j] = m_plane[i+j, p, i] for i, j in 1..Lmax
+    ii = jnp.arange(1, Lmax + 1)
+    FM = m_plane[ii[:, None] + ii[None, :], :, ii[:, None]]  # [Lmax, Lmax, P]
+    FM = jnp.moveaxis(FM, -1, 0)  # [P, Lmax, Lmax]
+
+    # BM[p, i, j] = b_plane[a+b, p, a], a = lx-i, b = ly-j; corner -> start[M]
+    a = lx[:, None] - ii[None, :]          # [P, Lmax]
+    b = ly[:, None] - ii[None, :]          # [P, Lmax]
+    a_c = jnp.clip(a, 0, Lmax)
+    d_idx = jnp.clip(a_c[:, :, None] + jnp.clip(b, 0, Lmax)[:, None, :], 0, D)
+    flat = b_plane.transpose(1, 0, 2).reshape(P, (D + 1) * W)
+    BM = jnp.take_along_axis(
+        flat, (d_idx * W + a_c[:, :, None]).reshape(P, -1), axis=1
+    ).reshape(P, Lmax, Lmax)
+    at_corner = (a[:, :, None] == 0) & (b[:, None, :] == 0)
+    BM = jnp.where(at_corner, start[M], BM)
+
+    post = jnp.exp(jnp.minimum(FM + BM - total[:, None, None], 0.0))
+    valid = (ii[None, :, None] <= lx[:, None, None]) & (ii[None, None, :] <= ly[:, None, None])
+    post = jnp.where(valid & (post >= MIN_SPARSE_PROB), post, 0.0)
+    return post, total
+
+
+def _encode_batch(seqs_x, seqs_y, Lmax):
+    P = len(seqs_x)
+    lx = np.array([len(s) for s in seqs_x])
+    ly = np.array([len(s) for s in seqs_y])
+    if Lmax is None:
+        Lmax = int(max(lx.max(initial=1), ly.max(initial=1)))
+        Lmax = max(32, ((Lmax + 31) // 32) * 32)
+    Pb = 1 << (P - 1).bit_length() if P > 1 else 1
+    X = np.full((Pb, Lmax), 4, np.int8)
+    Y = np.full((Pb, Lmax), 4, np.int8)
+    Xr = np.full((Pb, Lmax), 4, np.int8)
+    Yr = np.full((Pb, Lmax), 4, np.int8)
+    for p in range(P):
+        ex, ey = encode_seq(seqs_x[p]), encode_seq(seqs_y[p])
+        X[p, : lx[p]] = ex
+        Y[p, : ly[p]] = ey
+        Xr[p, : lx[p]] = ex[::-1]
+        Yr[p, : ly[p]] = ey[::-1]
+    lxp = np.concatenate([lx, np.zeros(Pb - P, np.int32)]).astype(np.int32)
+    lyp = np.concatenate([ly, np.zeros(Pb - P, np.int32)]).astype(np.int32)
+    return X, Y, Xr, Yr, lxp, lyp, lx, ly, Lmax
+
+
+def batch_posteriors(
+    seqs_x: list[str], seqs_y: list[str], Lmax: int | None = None
+) -> list[np.ndarray]:
+    """Production path: match posteriors for a batch of pairs, assembled on
+    device; one host transfer of [P, Lmax, Lmax] total."""
+    X, Y, Xr, Yr, lxp, lyp, lx, ly, Lmax = _encode_batch(seqs_x, seqs_y, Lmax)
+    post, _ = _posteriors_device(
+        jnp.asarray(X), jnp.asarray(Y), jnp.asarray(Xr), jnp.asarray(Yr),
+        jnp.asarray(lxp), jnp.asarray(lyp), Lmax,
+    )
+    post = np.asarray(post)
+    return [post[p, : lx[p], : ly[p]] for p in range(len(seqs_x))]
+
+
+# ---------------------------------------------------------------------------
+# Full-tensor reference path (kept for tests / debugging)
+# ---------------------------------------------------------------------------
 
 
 def _rev_pad(codes: np.ndarray, lengths: np.ndarray) -> np.ndarray:
@@ -214,52 +336,24 @@ def _np_logsumexp(v, axis=None):
 
 
 def pair_fwd_bwd(seqs_x: list[str], seqs_y: list[str], Lmax: int | None = None):
-    """Run both sweeps for a batch of pairs. Returns (fwd_diags, w_diags,
-    lx, ly) as numpy arrays; see posterior helpers below.
-
-    Shapes are bucketed (P to the next power of two, Lmax to a multiple of
-    32) so repeated cluster alignments reuse the jitted kernels instead of
-    recompiling per exact size."""
-    P = len(seqs_x)
-    lx = np.array([len(s) for s in seqs_x])
-    ly = np.array([len(s) for s in seqs_y])
-    if Lmax is None:
-        Lmax = int(max(lx.max(initial=1), ly.max(initial=1)))
-        Lmax = ((Lmax + 31) // 32) * 32
-    Pb = 1 << (P - 1).bit_length() if P > 1 else 1
-    X = np.full((Pb, Lmax), 4, np.int8)
-    Y = np.full((Pb, Lmax), 4, np.int8)
-    for p in range(P):
-        X[p, : lx[p]] = encode_seq(seqs_x[p])
-        Y[p, : ly[p]] = encode_seq(seqs_y[p])
-    lxp = np.concatenate([lx, np.zeros(Pb - P, lx.dtype)])
-    lyp = np.concatenate([ly, np.zeros(Pb - P, ly.dtype)])
-
+    """Both sweeps with full tensors on host (testing path)."""
+    X, Y, Xr, Yr, lxp, lyp, lx, ly, Lmax = _encode_batch(seqs_x, seqs_y, Lmax)
     _, trans6, _, _ = nucleo_params()
     fwd = np.asarray(_diag_dp(jnp.asarray(X), jnp.asarray(Y), trans6, Lmax))
-    w = np.asarray(
-        _diag_dp(
-            jnp.asarray(_rev_pad(X, lxp)), jnp.asarray(_rev_pad(Y, lyp)),
-            _trans_reversed(), Lmax,
-        )
-    )
+    w = np.asarray(_diag_dp(jnp.asarray(Xr), jnp.asarray(Yr), _trans_reversed(), Lmax))
     return fwd, w, lx, ly
 
 
 def posterior_from_sweeps(fwd, w, lx: int, ly: int, p: int) -> tuple[np.ndarray, float]:
-    """Dense [lx, ly] match posterior (sparsified at 0.01) and total log
-    probability for pair p of a batch from pair_fwd_bwd."""
-    start, trans6, _, _ = nucleo_params()
-    startv = np.asarray(start)
-    trans = np.asarray(trans6)
+    """Posterior + total for pair p of a pair_fwd_bwd batch (host math)."""
+    startv, trans, _, _ = nucleo_params()
 
     iidx = np.arange(1, lx + 1)
     jidx = np.arange(1, ly + 1)
     FM = fwd[iidx[:, None] + jidx[None, :], p, M, iidx[:, None]]
 
-    a = lx - iidx  # [lx]
-    b = ly - jidx  # [ly]
-    # Bwd_M(i,j) = logsumexp_s'(trans[M][s'] + W[s'][a][b]); (0,0)->start[M]
+    a = lx - iidx
+    b = ly - jidx
     Wall = w[a[:, None] + b[None, :], p, :, a[:, None]]  # [lx, ly, 5]
     BM = _np_logsumexp(Wall + trans[M][None, None, :], axis=2)
     BM[-1, -1] = startv[M]  # (a, b) == (0, 0)
@@ -274,8 +368,4 @@ def posterior_from_sweeps(fwd, w, lx: int, ly: int, p: int) -> tuple[np.ndarray,
 
 def pair_posteriors(seqs_x: list[str], seqs_y: list[str]) -> list[np.ndarray]:
     """Match posterior matrices for a batch of sequence pairs."""
-    fwd, w, lx, ly = pair_fwd_bwd(seqs_x, seqs_y)
-    return [
-        posterior_from_sweeps(fwd, w, int(lx[p]), int(ly[p]), p)[0]
-        for p in range(len(seqs_x))
-    ]
+    return batch_posteriors(seqs_x, seqs_y)

@@ -79,11 +79,19 @@ def deployed_graph() -> LdpcGraph:
 
 
 def _decode_batch(graph, llrs: np.ndarray, max_iter: int) -> np.ndarray:
-    """BP-decode [K, N] float soft values -> [K, N] hard outputs."""
+    """BP-decode [K, N] float soft values -> [K, N] hard outputs.
+
+    The batch is padded to a power of two so the annealing loop's varying
+    failure counts reuse one compiled decoder per bucket (all-zero pad rows
+    decode instantly at iteration 0)."""
     import jax.numpy as jnp
 
+    K = len(llrs)
+    Kb = 1 << (K - 1).bit_length() if K > 1 else 1
+    if Kb != K:
+        llrs = np.concatenate([llrs, np.zeros((Kb - K, llrs.shape[1]), llrs.dtype)])
     res = bp_decode(graph, jnp.asarray(llrs.astype(np.float32)), max_iter=max_iter)
-    return np.asarray(res.bits)
+    return np.asarray(res.bits)[:K]
 
 
 def decode_trial(
@@ -93,26 +101,51 @@ def decode_trial(
     config: TrialConfig = TrialConfig(),
     aligner: Aligner | None = None,
     graph: LdpcGraph | None = None,
+    checkpoint_path: str | None = None,
 ) -> TrialResult:
     """Decode one trial. codewords: [272, 18432] oracle bits (the shipped
     ``codeword_n18432_m1860_*`` files), used for error counting exactly as
-    the reference does."""
+    the reference does.
+
+    ``checkpoint_path``: optional npz path; if it holds a checkpoint for
+    the same epsilon, the ingest (RS + clustering + MSA + counting) stage
+    is skipped and decoding resumes from the stored LLR table. The
+    checkpoint is (re)written after ingest."""
     t_start = time.time()
     graph = graph or deployed_graph()
-    if aligner is None:
-        from ..ops.msa import msa_aligner
-
-        aligner = msa_aligner
+    # aligner=None routes mixed clusters through the cross-cluster batched
+    # MSA path inside compute_trial_llrs (the production default)
     phase = {}
 
-    t0 = time.time()
-    filtered = rs_filter_reads(reads, quals)
-    phase["rs_decode"] = time.time() - t0
+    ckpt = None
+    if checkpoint_path:
+        from .checkpoint import TrialCheckpoint
 
-    t0 = time.time()
-    llr_table = compute_trial_llrs(filtered, config.epsil, aligner)  # [18432, 272]
-    soft = llr_table.T.copy()  # [272, 18432] per-codeword soft inputs
-    phase["llr"] = time.time() - t0
+        ckpt = TrialCheckpoint.load(checkpoint_path)
+        if ckpt is not None and abs(ckpt.epsil - config.epsil) > 1e-12:
+            ckpt = None
+
+    if ckpt is not None:
+        llr_table = ckpt.llr_table
+        soft = llr_table.T.copy()
+        n_kept = ckpt.n_reads_kept
+        phase["rs_decode"] = phase["llr"] = 0.0
+    else:
+        t0 = time.time()
+        filtered = rs_filter_reads(reads, quals)
+        phase["rs_decode"] = time.time() - t0
+        n_kept = len(filtered.payloads)
+
+        t0 = time.time()
+        llr_table = compute_trial_llrs(filtered, config.epsil, aligner)  # [18432, 272]
+        soft = llr_table.T.copy()  # [272, 18432] per-codeword soft inputs
+        phase["llr"] = time.time() - t0
+        if checkpoint_path:
+            from .checkpoint import TrialCheckpoint
+
+            TrialCheckpoint(
+                epsil=config.epsil, llr_table=llr_table, n_reads_kept=n_kept
+            ).save(checkpoint_path)
 
     # ---- first decoding: all 272 codewords in one batch --------------------
     t0 = time.time()
@@ -159,5 +192,5 @@ def decode_trial(
         decoded_bits=dec,
         total_time=time.time() - t_start,
         phase_times=phase,
-        n_reads_kept=len(filtered.payloads),
+        n_reads_kept=n_kept,
     )

@@ -186,21 +186,143 @@ def cluster_llr(
 
 
 def compute_trial_llrs(
-    filtered: FilteredReads, epsil: float, aligner: Aligner | None = None
+    filtered: FilteredReads,
+    epsil: float,
+    aligner: Aligner | None = None,
+    use_native: bool = True,
+    batch_msa: bool = True,
 ) -> np.ndarray:
-    """Full [18432, 272] LLR table for one trial (erasure strands zero)."""
+    """Full [18432, 272] LLR table for one trial (erasure strands zero).
+
+    When the native ingest library is available, countable clusters
+    (all-136 multi-read, single reads) are tallied in one C++ pass
+    (native/ingest.cpp) and only mixed-length clusters take the
+    Python + MSA path; semantics are identical either way.
+    """
     out = np.zeros((N_STRANDS, PAYLOAD_BITS), dtype=np.float64)
     strands = filtered.strands
+    if len(strands) == 0:
+        return out
     boundaries = np.nonzero(np.diff(strands))[0] + 1
-    starts = np.concatenate([[0], boundaries])
-    ends = np.concatenate([boundaries, [len(strands)]])
-    for s, e in zip(starts, ends):
-        if e == s:
-            continue
+    starts = np.concatenate([[0], boundaries]).astype(np.int64)
+    ends = np.concatenate([boundaries, [len(strands)]]).astype(np.int64)
+    strand_of_cluster = strands[starts].astype(np.int32)
+
+    needs_python = np.ones(len(starts), dtype=np.int32)
+    if use_native:
+        from .. import native_lib
+
+        if native_lib.available():
+            lengths = np.array([len(p) for p in filtered.payloads], dtype=np.int32)
+            offsets = np.zeros(len(lengths), dtype=np.int64)
+            if len(lengths) > 1:
+                offsets[1:] = np.cumsum(lengths[:-1], dtype=np.int64)
+            buf = np.frombuffer(
+                "".join(filtered.payloads).encode("latin1"), dtype=np.uint8
+            ).copy()
+            mag = math.log((1 - epsil) / epsil)
+            needs_python = native_lib.count_trial_llrs_native(
+                buf, offsets, lengths, np.ascontiguousarray(filtered.quals, np.int64),
+                starts, ends, strand_of_cluster, mag, out,
+            )
+
+    pending = np.nonzero(needs_python)[0]
+    if len(pending) == 0:
+        return out
+
+    if aligner is None and batch_msa:
+        _process_mixed_clusters_batched(filtered, starts, ends, strands, pending, epsil, out)
+        return out
+
+    for c in pending:
+        s, e = starts[c], ends[c]
         strand = int(strands[s])
         llr = cluster_llr(
             filtered.payloads[s:e], list(filtered.quals[s:e]), epsil, aligner
         )
         if llr is not None:
             out[strand] = llr
+        else:
+            out[strand] = 0.0
     return out
+
+
+def _process_mixed_clusters_batched(
+    filtered: FilteredReads, starts, ends, strands, pending, epsil: float, out: np.ndarray
+) -> None:
+    """Mixed-length clusters, vectorized across the trial: one batched
+    edit-distance pass for every cluster's pre-filter pairs, one
+    cross-cluster batched pair-HMM run (ops.msa.align_clusters), then the
+    per-cluster counting rules. Semantically identical to routing each
+    cluster through cluster_llr with the default MSA aligner."""
+    from ..ops.msa import align_clusters
+
+    mag = math.log((1 - epsil) / epsil)
+
+    # ---- batched edit-distance pre-filter --------------------------------
+    infos = []
+    pa, pb = [], []
+    for c in pending:
+        s, e = int(starts[c]), int(ends[c])
+        reads = filtered.payloads[s:e]
+        quals = list(filtered.quals[s:e])
+        n = len(reads)
+        ii, kk = np.triu_indices(n, k=1)
+        infos.append((int(strands[s]), reads, quals, len(pa), len(ii)))
+        pa.extend((s + ii).tolist())
+        pb.extend((s + kk).tolist())
+    pa = np.asarray(pa, np.int64)
+    pb = np.asarray(pb, np.int64)
+
+    from .. import native_lib
+
+    if native_lib.available():
+        lengths = np.array([len(p) for p in filtered.payloads], dtype=np.int32)
+        offsets = np.zeros(len(lengths), dtype=np.int64)
+        if len(lengths) > 1:
+            offsets[1:] = np.cumsum(lengths[:-1], dtype=np.int64)
+        buf = np.frombuffer("".join(filtered.payloads).encode("latin1"), np.uint8).copy()
+        dists = native_lib.edit_distance_batch_native(buf, offsets, lengths, pa, pb)
+    else:
+        mat = dna.seqs_to_matrix(filtered.payloads, fill=b"\x00")
+        lengths = np.array([len(p) for p in filtered.payloads], dtype=np.int64)
+        dists = edit_distance_pairs(mat, lengths, pa, pb)
+
+    # ---- build MSA jobs --------------------------------------------------
+    jobs = []  # (strand, sub_reads, sub_quals)
+    for strand, reads, quals, off, npairs in infos:
+        n = len(reads)
+        ii, kk = np.triu_indices(n, k=1)
+        close = dists[off : off + npairs] < EDIT_PREFILTER_THRESHOLD
+        keep = np.unique(np.concatenate([ii[close], kk[close]]))
+        if len(keep) == 0:
+            continue  # erasure strand: LLRs stay zero
+        jobs.append((strand, [reads[i] for i in keep], [quals[i] for i in keep]))
+
+    if not jobs:
+        return
+
+    # ---- cross-cluster batched MSA + counting ----------------------------
+    aligned = align_clusters([reads for _, reads, _ in jobs])
+    for (strand, _, subq), rows_out in zip(jobs, aligned):
+        rows, rq, error_q = [], [], []
+        for ordinal, aseq in rows_out:
+            if len(aseq) != PAYLOAD_NT:
+                error_q.append((subq[ordinal], aseq[-1]))
+            else:
+                rows.append(aseq)
+                rq.append(subq[ordinal])
+        if not rows:
+            llr = np.zeros(PAYLOAD_BITS, dtype=np.float64)
+            c0 = c1 = 0
+            for qq, ch in error_q:
+                if qq > Q_HIGH:
+                    lsb = dna.dna_to_bits(dna.seq_to_bytes(ch))[1]
+                    if lsb == 0:
+                        c0 += 1
+                    else:
+                        c1 += 1
+            llr[PAYLOAD_BITS - 1] = (c0 - c1) * mag
+            out[strand] = llr
+        else:
+            out[strand] = _count_llr(rows, rq, mag)

@@ -151,3 +151,42 @@ def test_bit271_two_vote_rule(q271):
     r0 = "A" * 136          # last base A -> bit 271 = 0
     r1 = "A" * 135 + "C"    # last base C -> bit 271 = 1
     _compare([r0, r1], list(q271), None)
+
+
+def test_batched_msa_path_matches_per_cluster():
+    """The cross-cluster batched MSA path must produce exactly the same
+    LLR table as routing every cluster through cluster_llr + align()."""
+    import random
+
+    from dna_ldpc_tpu.ops.msa import msa_aligner
+    from dna_ldpc_tpu.pipeline.llr import FilteredReads, compute_trial_llrs
+
+    rng = random.Random(7)
+
+    def mutate(s, dels):
+        s = list(s)
+        for _ in range(dels):
+            del s[rng.randrange(len(s))]
+        for _ in range(2):
+            s[rng.randrange(len(s))] = rng.choice("ACGT")
+        return "".join(s)
+
+    payloads, quals, strands = [], [], []
+    strand = 0
+    for _ in range(25):
+        k = rng.randint(1, 4)
+        base = _rand_read(rng, 136)
+        mixed = rng.random() < 0.6
+        for i in range(k):
+            r = base if (i == 0 or not mixed) else mutate(base, rng.randint(0, 2))
+            payloads.append(r)
+            quals.append(rng.choice([40, 53, 64, 70]))
+            strands.append(strand)
+        strand += rng.randint(1, 2)
+    f = FilteredReads(
+        payloads=payloads, quals=np.array(quals), strands=np.array(strands),
+        n_input=len(payloads), n_rs_pass=len(payloads),
+    )
+    t_batch = compute_trial_llrs(f, EPS, aligner=None, batch_msa=True)
+    t_percl = compute_trial_llrs(f, EPS, aligner=msa_aligner, batch_msa=False)
+    assert np.array_equal(t_batch, t_percl)
