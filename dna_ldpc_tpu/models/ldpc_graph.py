@@ -46,9 +46,12 @@ class LdpcGraph:
     edge_perm: np.ndarray       # [E] int32: check-major edge -> var-major slot
     edge_var: np.ndarray        # [E] int32: variable of each check-major edge
     regular: bool
+    # permutation-block (protograph) structure, when the code has one —
+    # enables the MXU routing fast path (ops/bp.bp_decode_blocked)
+    blocked: object = None
 
     @classmethod
-    def from_sparse(cls, H: SparseBinaryMatrix) -> "LdpcGraph":
+    def from_sparse(cls, H: SparseBinaryMatrix, detect_blocked: bool = True) -> "LdpcGraph":
         M, N = H.n_rows, H.n_cols
         row_w = H.row_weights()
         col_w = H.col_weights()
@@ -86,7 +89,13 @@ class LdpcGraph:
         perm[ids_sorted] = var_sorted * dv + vslot
 
         regular = bool(np.all(row_w == dc) and np.all(col_w == dv))
+        blocked = None
+        if detect_blocked and regular:
+            from .blocked import BlockedCode
+
+            blocked = BlockedCode.detect(H)
         return cls(
+            blocked=blocked,
             n_checks=M,
             n_vars=N,
             dc_max=dc,

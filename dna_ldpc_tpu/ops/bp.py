@@ -50,8 +50,8 @@ class BpResult:
     unsat: jax.Array       # [B] int32: unsatisfied checks at stop
 
 
-def _exclusive_prod(t: jax.Array) -> jax.Array:
-    """Per-row exclusive product along the last axis.
+def _exclusive_prod(t: jax.Array, axis: int = -1) -> jax.Array:
+    """Per-row exclusive product along ``axis``.
 
     Mathematically equal to the reference's forward/backward sweeps
     (dec.cpp:646-662) but computed as whole-row reductions (sign parity +
@@ -64,9 +64,9 @@ def _exclusive_prod(t: jax.Array) -> jax.Array:
     is_zero = t == 0
     neg = t < 0
     logabs = jnp.log(jnp.where(is_zero, jnp.ones_like(t), jnp.abs(t)))
-    sum_log = jnp.sum(logabs, axis=-1, keepdims=True)
-    n_zero = jnp.sum(is_zero, axis=-1, keepdims=True)
-    n_neg = jnp.sum(neg, axis=-1, keepdims=True)
+    sum_log = jnp.sum(logabs, axis=axis, keepdims=True)
+    n_zero = jnp.sum(is_zero, axis=axis, keepdims=True)
+    n_neg = jnp.sum(neg, axis=axis, keepdims=True)
     excl_zero = n_zero - is_zero.astype(n_zero.dtype)
     excl_neg = n_neg - neg.astype(n_neg.dtype)
     mag = jnp.exp(sum_log - logabs)
@@ -106,7 +106,14 @@ def bp_decode(
 
     ``early_stop=False`` runs all max_iter iterations regardless of
     convergence (per-codeword results still latch at first zero syndrome);
-    used for fixed-work benchmarking."""
+    used for fixed-work benchmarking.
+
+    Codes with permutation-block (protograph) structure automatically take
+    the MXU routing fast path (:func:`bp_decode_blocked`, same semantics);
+    pass a graph built with ``detect_blocked=False`` or an explicit
+    ``clip`` to force the generic gather path."""
+    if graph.blocked is not None and clip is None:
+        return bp_decode_blocked(graph.blocked, llr, max_iter, early_stop)
     return _bp_decode_jit(graph, max_iter, clip, early_stop)(llr)
 
 
@@ -181,6 +188,127 @@ def _bp_decode_jit(graph: LdpcGraph, max_iter: int, clip: Optional[float], early
         )
         n, _, bits, iters, done, unsat = jax.lax.while_loop(cond, body, state)
         return BpResult(bits=bits, success=done, iterations=iters, unsat=unsat)
+
+    return jax.jit(decode)
+
+
+# ---------------------------------------------------------------------------
+# Blocked (protograph) decoder: message routing on the MXU
+# ---------------------------------------------------------------------------
+
+
+def bp_decode_blocked(
+    code,
+    llr: jax.Array,
+    max_iter: int = 200,
+    early_stop: bool = True,
+    exact_routing: bool = True,
+) -> BpResult:
+    """Flooding sum-product BP for permutation-blocked codes
+    (``models.blocked.BlockedCode``), the fast path for the deployed
+    RS-LDPC and any protograph/QC code.
+
+    Identical math and decision semantics to :func:`bp_decode`, but the
+    two 147k-element message gathers per iteration become batched q x q
+    one-hot matmuls on the MXU (3-9x faster on TPU v5e), and the routing
+    linearity folds the variable update into ``route(post) - c2v`` —
+    the syndrome comes free from the sign of the routed posteriors.
+
+    ``exact_routing=True`` (default) uses ``Precision.HIGHEST`` one-hot
+    matmuls, which are bit-exact routing for f32 messages (0/1 factors
+    decompose exactly over the bf16 passes); hard decisions then agree
+    with :func:`bp_decode` up to f32 reduction-order rounding of the same
+    sums. ``False`` uses default (single-pass bf16) matmuls: ~2^-9
+    relative routing error, measurably faster, negligible FER impact —
+    the throughput mode.
+
+    LLRs must be finite; non-finite inputs are sanitized (NaN -> tiny
+    negative, i.e. the reference's NaN->bit-1 rule; +/-inf clipped).
+    """
+    R_vc, A_sum = code.routing_tables()
+    # routing tensors are jit *arguments*, not closed-over constants: the
+    # deployed operators are 151 MB and must not be baked into the HLO
+    return _bp_blocked_jit(code, max_iter, early_stop, exact_routing)(llr, R_vc, A_sum)
+
+
+@functools.lru_cache(maxsize=32)
+def _bp_blocked_jit(code, max_iter: int, early_stop: bool, exact_routing: bool):
+    import jax.lax as lax
+
+    canon_idx = jnp.asarray(code.canonical_gather())
+    ext_idx = jnp.asarray(code.external_gather())
+    G, J, q = code.G, code.J, code.q
+    N = code.n_vars
+    prec = lax.Precision.HIGHEST if exact_routing else lax.Precision.DEFAULT
+
+    def route_to_checks(R_vc, x, B):
+        # [G,J,q,q] @ (broadcast [J,q,B]) -> [G,J,q,B]
+        return lax.dot_general(
+            R_vc, jnp.broadcast_to(x, (G, J, q, B)),
+            (((3,), (2,)), ((0, 1), (0, 1))),
+            precision=prec, preferred_element_type=jnp.float32,
+        )
+
+    def sum_to_vars(A_sum, x):
+        # route check messages to the variable side AND sum over the G
+        # cosets in one matmul per column group: [J,q,G*q] @ [J,G*q,B]
+        B = x.shape[-1]
+        stacked = x.transpose(1, 0, 2, 3).reshape(J, G * q, B)
+        return lax.dot_general(
+            A_sum, stacked, (((2,), (1,)), ((0,), (0,))),
+            precision=prec, preferred_element_type=jnp.float32,
+        )  # [J, q, B]
+
+    def unsat_from_signs(bits_pc):
+        # bits_pc: [G, J, q, B] int32 decisions at the check side
+        parity = jnp.sum(bits_pc, axis=1) % 2             # [G, q, B]
+        return jnp.sum(parity, axis=(0, 1)).astype(jnp.int32)  # [B]
+
+    def decode(llr: jax.Array, R_vc, A_sum) -> BpResult:
+        B = llr.shape[0]
+        dtype = llr.dtype
+        eps = jnp.finfo(dtype).eps
+        clip_t = jnp.asarray(1.0, dtype) - eps
+        big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+        llr = jnp.where(jnp.isnan(llr), jnp.asarray(-1e-30, dtype), jnp.clip(llr, -big, big))
+
+        llrT = llr[:, canon_idx].T.reshape(J, q, B)   # canonical, var-side
+        v2c0 = route_to_checks(R_vc, llrT, B)         # init: e->pr = lratio[j]
+        bits0 = (llrT < 0).astype(jnp.uint8)          # lratio < 1 (dec.cpp:626)
+        unsat0 = unsat_from_signs((v2c0 < 0).astype(jnp.int32))
+        done0 = unsat0 == 0
+
+        def cond(state):
+            n, _, _, _, done, _ = state
+            if not early_stop:
+                return n < max_iter
+            return (n < max_iter) & ~jnp.all(done)
+
+        def body(state):
+            n, v2c, bits, iters, done, unsat = state
+            t = jnp.tanh(v2c * 0.5)
+            te = _exclusive_prod(t, axis=1)           # over the J edges/check
+            te = jnp.clip(te, -clip_t, clip_t)
+            c2v = jnp.log1p(te) - jnp.log1p(-te)      # [G, J, q, B]
+            c2v = jax.lax.optimization_barrier(c2v)
+            post = llrT + sum_to_vars(A_sum, c2v)     # [J, q, B]
+            post = jax.lax.optimization_barrier(post)
+            post_pc = route_to_checks(R_vc, post, B)  # [G, J, q, B]
+            new_v2c = post_pc - c2v                   # exclusive: route is linear
+            # pr <= 1 decision with NaN -> 1: ~(post > 0)
+            new_bits = (~(post > 0)).astype(jnp.uint8)
+            new_unsat = unsat_from_signs((~(post_pc > 0)).astype(jnp.int32))
+            newly_done = (new_unsat == 0) & ~done
+            bits = jnp.where(done[None, None, :], bits, new_bits)
+            unsat = jnp.where(done, unsat, new_unsat)
+            iters = jnp.where(done, iters, n + 1)
+            done = done | newly_done
+            return (n + 1, new_v2c, bits, iters, done, unsat)
+
+        state = (jnp.int32(0), v2c0, bits0, jnp.zeros(B, jnp.int32), done0, unsat0)
+        n, _, bits, iters, done, unsat = jax.lax.while_loop(cond, body, state)
+        bits_ext = bits.reshape(N, B).T[:, ext_idx]   # canonical -> shipped order
+        return BpResult(bits=bits_ext, success=done, iterations=iters, unsat=unsat)
 
     return jax.jit(decode)
 

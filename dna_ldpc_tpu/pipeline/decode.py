@@ -74,7 +74,15 @@ _graph_cache: dict[int, LdpcGraph] = {}
 
 def deployed_graph() -> LdpcGraph:
     if 0 not in _graph_cache:
-        _graph_cache[0] = LdpcGraph.from_sparse(dna_storage_pchk())
+        import dataclasses
+
+        from ..models.blocked import dna_storage_blocked
+
+        # the shipped pchk is column-shuffled, so natural block detection
+        # fails; attach the known canonical decomposition explicitly to
+        # enable the MXU routing fast path
+        g = LdpcGraph.from_sparse(dna_storage_pchk(), detect_blocked=False)
+        _graph_cache[0] = dataclasses.replace(g, blocked=dna_storage_blocked())
     return _graph_cache[0]
 
 
