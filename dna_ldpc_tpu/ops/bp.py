@@ -342,3 +342,46 @@ def decode_llrs(graph: LdpcGraph, llrs: np.ndarray, max_iter: int = 200) -> BpRe
     """Host entry: accepts [N] or [B, N] numpy LLRs, returns device results."""
     llrs = jnp.asarray(np.atleast_2d(np.asarray(llrs, dtype=np.float32)))
     return bp_decode(graph, llrs, max_iter=max_iter)
+
+
+def bp_posteriors(graph: LdpcGraph, llr: jax.Array, iters: int) -> jax.Array:
+    """Soft-output BP: run ``iters`` flooding iterations and return the
+    posterior LLRs [B, N] (channel + all check messages). The soft
+    interface component decoders need for turbo-style product decoding
+    (extrinsic = posterior - input)."""
+    return _bp_post_jit(graph, iters)(llr)
+
+
+@functools.lru_cache(maxsize=32)
+def _bp_post_jit(graph: LdpcGraph, iters: int):
+    tables = graph.device_tables()
+    check_vars = tables["check_vars"]
+    check_mask = tables["check_mask"]
+    var_edge_ids = tables["var_edge_ids"].reshape(-1)
+    edge_perm = tables["edge_perm"]
+    M, N = graph.n_checks, graph.n_vars
+    dc, dv = graph.dc_max, graph.dv_max
+
+    def run(llr):
+        B = llr.shape[0]
+        dtype = llr.dtype
+        clip_t = jnp.asarray(1.0, dtype) - jnp.finfo(dtype).eps
+        v0 = jnp.take(llr, jnp.maximum(check_vars, 0).reshape(-1), axis=1)
+
+        def body(i, carry):
+            v2c, _ = carry
+            c2v = _check_messages(v2c.reshape(B, M, dc), check_mask, clip_t)
+            c2v = jax.lax.optimization_barrier(c2v)
+            c2v_pad = jnp.concatenate([c2v.reshape(B, M * dc), jnp.zeros((B, 1), dtype)], axis=1)
+            cv = jnp.take(c2v_pad, var_edge_ids, axis=1).reshape(B, N, dv)
+            post = llr + jnp.sum(cv, axis=-1)
+            v2c_vm = post[:, :, None] - cv
+            v2c_pad = jnp.concatenate(
+                [v2c_vm.reshape(B, N * dv), jnp.zeros((B, 1), dtype)], axis=1
+            )
+            return jnp.take(v2c_pad, edge_perm, axis=1), post
+
+        _, post = jax.lax.fori_loop(0, iters, body, (v0, llr))
+        return post
+
+    return jax.jit(run)

@@ -1,0 +1,127 @@
+"""SC-LDPC sliding-window/pipeline decoding, product codes, FAID —
+the rest of the reference's decoder zoo (dec.cpp SW/BEC_SW/Pipeline
+families, product decoders, FAID)."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from dna_ldpc_tpu.models import LdpcGraph, build_rs_ldpc
+from dna_ldpc_tpu.models.mod2 import random_codewords
+from dna_ldpc_tpu.models.scldpc import couple
+from dna_ldpc_tpu.ops.bp import bp_decode
+from dna_ldpc_tpu.ops.decoders import ERASE_MARK
+from dna_ldpc_tpu.ops.faid import faid_decode
+from dna_ldpc_tpu.ops.product import product_decode, product_pchk, split_pchk
+from dna_ldpc_tpu.ops.scldpc import pipeline_decode, sliding_window_bec, sliding_window_decode
+from dna_ldpc_tpu.utils.io_formats import SparseBinaryMatrix
+
+
+@pytest.fixture(scope="module")
+def chain():
+    H0 = build_rs_ldpc(3, 6, 3)  # 24 x 48 base block, dv=3 dc=6
+    return couple(H0, L=8, w=1, seed=1)
+
+
+def test_couple_shapes(chain):
+    assert chain.H.n_cols == 8 * 48
+    assert chain.H.n_rows == 9 * 24
+    # band structure: check block t only touches variable blocks t-1..t
+    dense = chain.H.to_dense()
+    for t in range(9):
+        rows = dense[t * 24 : (t + 1) * 24]
+        touched = np.unique(np.nonzero(rows)[1] // 48)
+        assert all(t - 1 <= b <= t for b in touched)
+
+
+def test_sliding_window_matches_full_bp(chain):
+    rng = np.random.default_rng(2)
+    cw = random_codewords(chain.H.to_dense(), 8, rng)
+    mag = np.log(0.98 / 0.02)
+    cov = rng.poisson(4.0, cw.shape)
+    errs = rng.binomial(cov, 0.02)
+    llr = ((cov - 2 * errs) * mag * np.where(cw == 0, 1.0, -1.0)).astype(np.float32)
+
+    sw = sliding_window_decode(chain, llr, W=3, iters=20)
+    assert (sw == cw).all(), "window decoding should recover at this SNR"
+    # and pipeline_decode is the batched-window alias
+    pl = pipeline_decode(chain, llr, W=3, iters=20)
+    assert (pl == sw).all()
+
+    graph = LdpcGraph.from_sparse(chain.H)
+    full = bp_decode(graph, jnp.asarray(llr), max_iter=60)
+    assert (np.asarray(full.bits) == cw).all()
+
+
+def test_sliding_window_bec(chain):
+    rng = np.random.default_rng(3)
+    cw = random_codewords(chain.H.to_dense(), 4, rng)
+    vals = cw.astype(np.int8)
+    erase = rng.random(vals.shape) < 0.25
+    vals[erase] = ERASE_MARK
+    out = sliding_window_bec(chain, vals, W=3, iters=60)
+    resolved = out != ERASE_MARK
+    assert resolved.mean() > 0.99
+    assert (out[resolved] == cw[resolved]).all()
+
+
+def _hamming74():
+    H = np.array(
+        [
+            [1, 1, 0, 1, 1, 0, 0],
+            [1, 0, 1, 1, 0, 1, 0],
+            [0, 1, 1, 1, 0, 0, 1],
+        ],
+        np.uint8,
+    )
+    return SparseBinaryMatrix.from_coo(3, 7, *np.nonzero(H))
+
+
+def test_product_pchk_and_split():
+    H1 = _hamming74()
+    Hp = product_pchk(H1, H1)
+    assert Hp.n_cols == 49 and Hp.n_rows == 7 * 3 + 7 * 3
+    parts = split_pchk(Hp, [21, 21])
+    assert parts[0].n_rows == 21 and parts[1].n_rows == 21
+    # a product codeword satisfies Hp
+    rng = np.random.default_rng(0)
+    rows = random_codewords(H1.to_dense(), 7, rng)  # 7 random row codewords
+    # make columns codewords too: encode columns of the message part is
+    # overkill here — instead verify Hp on an all-zero word and on a word
+    # built from the product structure via one row/col codeword outer sum
+    r = random_codewords(H1.to_dense(), 1, rng)[0]
+    c = random_codewords(H1.to_dense(), 1, rng)[0]
+    word = np.outer(c, r) % 2  # rank-1 product: rows are r or 0, cols c or 0
+    assert int(Hp.mulvec(word.reshape(-1)).sum()) == 0
+    del rows
+
+
+def test_product_decode_corrects():
+    H1 = _hamming74()
+    g = LdpcGraph.from_sparse(H1)
+    rng = np.random.default_rng(1)
+    r = random_codewords(H1.to_dense(), 1, rng)[0]
+    c = random_codewords(H1.to_dense(), 1, rng)[0]
+    word = np.outer(c, r) % 2  # [7, 7] valid product codeword
+    mag = 4.0
+    llr = mag * np.where(word == 0, 1.0, -1.0)
+    llr[2, 3] = -llr[2, 3]  # one flipped bit
+    llr[5, 1] = -llr[5, 1]  # another, different row+col
+    bits, ok = product_decode(g, g, llr[None], outer_iters=6, inner_iters=5)
+    assert ok[0]
+    assert (bits[0] == word).all()
+
+
+def test_faid_corrects_bsc_errors():
+    H = build_rs_ldpc(4, 8, 3)  # dv=3 column weight: FAID's home turf
+    graph = LdpcGraph.from_sparse(H)
+    rng = np.random.default_rng(4)
+    cw = random_codewords(H.to_dense(), 16, rng)
+    flips = rng.random(cw.shape) < 0.01
+    recv = (cw ^ flips).astype(np.uint8)
+    res = faid_decode(graph, jnp.asarray(recv), max_iter=60)
+    ok = np.asarray(res.success)
+    assert ok.mean() > 0.8
+    assert (np.asarray(res.bits)[ok] == cw[ok]).all()
