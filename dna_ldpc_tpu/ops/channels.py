@@ -49,3 +49,18 @@ def inject_erasures(llr: jax.Array, positions) -> jax.Array:
     """Zero the LLRs at the given positions (puncturing fault injection,
     DNA_main.cpp:1440-1470 analog in the soft domain)."""
     return llr.at[..., jnp.asarray(positions)].set(0.0)
+
+
+def puncture(llr: jax.Array, positions) -> jax.Array:
+    """Puncturing: the transmitter skips these code bits, so the receiver
+    has no observation — LLR 0 (DNA_main.cpp puncture path, :1440-1470)."""
+    return inject_erasures(llr, positions)
+
+
+SHORTEN_LLR = 1e9
+
+
+def shorten(llr: jax.Array, positions) -> jax.Array:
+    """Shortening: these code bits are known zero a priori — saturated
+    positive LLR (DNA_main.cpp shortening path, :1472-1520)."""
+    return llr.at[..., jnp.asarray(positions)].set(SHORTEN_LLR)

@@ -238,13 +238,15 @@ def align(
     consistency_iters: int = CONSISTENCY_ITERS,
     seed: int = 0,
     pair_posts: list[np.ndarray] | None = None,
+    hmm_params=None,
 ) -> list[tuple[int, str]]:
     """Align sequences; returns [(input ordinal, aligned row)] in input
     order. Single sequence passes through unchanged.
 
     ``pair_posts`` optionally supplies precomputed match posteriors in
     cluster_pairs(n) order (the cross-cluster batched path of
-    align_clusters); otherwise they are computed here.
+    align_clusters); otherwise they are computed here. ``hmm_params``
+    optionally overrides the pair-HMM tables (ensemble replicates).
     """
     n = len(seqs)
     if n == 0:
@@ -256,7 +258,8 @@ def align(
     pairs = cluster_pairs(n)
     if pair_posts is None:
         pair_posts = batch_posteriors(
-            [seqs[i] for i, _ in pairs], [seqs[j] for _, j in pairs]
+            [seqs[i] for i, _ in pairs], [seqs[j] for _, j in pairs],
+            params=hmm_params,
         )
     posts: dict[tuple[int, int], np.ndarray] = {}
     dist = np.zeros((n, n), dtype=np.float64)

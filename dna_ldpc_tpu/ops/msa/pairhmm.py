@@ -100,15 +100,18 @@ def nucleo_params():
     return f32(start), f32(trans), f32(match), f32(ins)
 
 
-@functools.lru_cache(maxsize=None)
-def _trans_reversed():
+def _reverse_trans_table(trans6: np.ndarray) -> np.ndarray:
     """6x5 transition table for the W-DP: real rows transposed, START row
     unchanged (= start scores)."""
-    _, trans6, _, _ = nucleo_params()
     out = np.full_like(trans6, np.float32(LOG_ZERO))
     out[:N_STATE, :] = trans6[:N_STATE, :].T
     out[START] = trans6[START]
     return out
+
+
+@functools.lru_cache(maxsize=None)
+def _trans_reversed():
+    return _reverse_trans_table(nucleo_params()[1])
 
 
 _ENCODE_TABLE = np.full(256, 4, np.int8)
@@ -210,15 +213,25 @@ def _diag_dp(X, Y, trans6, Lmax):
 
 
 @functools.partial(jax.jit, static_argnums=(6,))
-def _posteriors_device(X, Y, Xr, Yr, lx, ly, Lmax):
+def _posteriors_device(X, Y, Xr, Yr, lx, ly, Lmax, params=None):
     """Both sweeps + on-device posterior assembly.
 
     Stores only the forward M-plane, the backward plane pre-folded through
     trans[M][:], and the per-pair forward corner states. Returns
     (post [P, Lmax, Lmax] sparsified, total [P]).
+
+    ``params`` optionally overrides the HMM tables (start, trans6, match,
+    ins) — the ensemble replicates' PerturbProbs path (align.cpp:81-120).
     """
-    start, trans6, match, ins = nucleo_params()
-    trans_rev = _trans_reversed()
+    if params is None:
+        start, trans6, match, ins = nucleo_params()
+        trans_rev = _trans_reversed()
+    else:
+        start, trans6, match, ins = params
+        # jnp-safe reversed table (params may be tracers under jit)
+        trans_rev = jnp.full_like(jnp.asarray(trans6), LOG_ZERO)
+        trans_rev = trans_rev.at[:N_STATE, :].set(jnp.asarray(trans6)[:N_STATE, :].T)
+        trans_rev = trans_rev.at[START].set(jnp.asarray(trans6)[START])
     P, W, D = X.shape[0], Lmax + 1, 2 * Lmax
     rows = jnp.arange(W)
     end_d = lx + ly  # [P]
@@ -303,14 +316,15 @@ def _encode_batch(seqs_x, seqs_y, Lmax):
 
 
 def batch_posteriors(
-    seqs_x: list[str], seqs_y: list[str], Lmax: int | None = None
+    seqs_x: list[str], seqs_y: list[str], Lmax: int | None = None, params=None
 ) -> list[np.ndarray]:
     """Production path: match posteriors for a batch of pairs, assembled on
-    device; one host transfer of [P, Lmax, Lmax] total."""
+    device; one host transfer of [P, Lmax, Lmax] total. ``params``
+    optionally overrides the HMM tables (ensemble perturbation)."""
     X, Y, Xr, Yr, lxp, lyp, lx, ly, Lmax = _encode_batch(seqs_x, seqs_y, Lmax)
     post, _ = _posteriors_device(
         jnp.asarray(X), jnp.asarray(Y), jnp.asarray(Xr), jnp.asarray(Yr),
-        jnp.asarray(lxp), jnp.asarray(lyp), Lmax,
+        jnp.asarray(lxp), jnp.asarray(lyp), Lmax, params,
     )
     post = np.asarray(post)
     return [post[p, : lx[p], : ly[p]] for p in range(len(seqs_x))]
