@@ -77,3 +77,28 @@ def test_graft_entry_dryrun():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_sharded_blocked_matches_single_device():
+    import jax
+    import jax.numpy as jnp
+
+    from dna_ldpc_tpu.models import BlockedCode, build_rs_ldpc
+    from dna_ldpc_tpu.ops.bp import bp_decode_blocked
+    from dna_ldpc_tpu.parallel.mesh import build_mesh
+    from dna_ldpc_tpu.parallel.sharded_bp import sharded_blocked_decode
+
+    H = build_rs_ldpc(4, 8, 4)
+    code = BlockedCode.detect(H)
+    mesh = build_mesh(devices=jax.devices()[:8], max_graph=4)
+    rng = np.random.default_rng(5)
+    mag = np.log(0.98 / 0.02)
+    cov = rng.poisson(3.7, (8, H.n_cols))
+    errs = rng.binomial(cov, 0.02)
+    llr = ((cov - 2 * errs) * mag).astype(np.float32)
+
+    sharded = sharded_blocked_decode(code, mesh, llr, max_iter=30)
+    single = bp_decode_blocked(code, jnp.asarray(llr), max_iter=30)
+    assert (np.asarray(sharded.bits) == np.asarray(single.bits)).all()
+    assert (np.asarray(sharded.success) == np.asarray(single.success)).all()
+    assert (np.asarray(sharded.iterations) == np.asarray(single.iterations)).all()
