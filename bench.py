@@ -26,7 +26,6 @@ def main():
     # per-read bit error 2%, LLR = (votes) * log((1-eps)/eps) — the
     # distribution the soft-information chain produces (SURVEY.md §2.1).
     B = 512
-    ITERS = 50
     rng = np.random.default_rng(7)
     mag = np.log(0.98 / 0.02)
     cov = rng.poisson(3.7, (B, 18432))
@@ -36,17 +35,17 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from dna_ldpc_tpu.ops.bp import bp_decode_blocked
+    from dna_ldpc_tpu.ops.bp_pallas import bp_decode_blocked_pallas
 
     llr = jax.device_put(jnp.asarray(llr_np))
 
     def decode(x):
-        # bf16-message blocked BP: the throughput mode, FER-parity
-        # validated against the exact decoder (tests/test_bp_modes.py);
-        # full 50 iterations, no early stop.
-        r = bp_decode_blocked(
-            graph.blocked, x, max_iter=ITERS, early_stop=False, mode="bf16"
-        )
+        # Fused Pallas kernel under the reference decoder's real
+        # semantics: flooding sum-product, max 200 iterations, syndrome
+        # early stop per codeword (def_func.py:49; dec.cpp:583-605).
+        # FER/bit parity vs the exact XLA decoder is test-enforced
+        # (tests/test_trace_pallas.py) and re-checked below.
+        r = bp_decode_blocked_pallas(graph.blocked, x, max_iter=200, early_stop=True)
         # np.asarray on the tiny per-codeword outputs forces a real
         # device sync (block_until_ready alone can under-report through
         # the remote-TPU tunnel)
@@ -56,7 +55,7 @@ def main():
     assert (unsat == 0).all(), "bench workload must fully converge"
 
     times = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         decode(llr)
         times.append(time.perf_counter() - t0)
@@ -66,7 +65,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"decoded codewords/s/chip (n=18432 blocked BP, bf16 messages, {ITERS} fixed iters, batch {B})",
+                "metric": f"decoded codewords/s/chip (n=18432, fused pallas BP, reference semantics: sum-product, max 200 iters, syndrome early stop; trial-like channel, batch {B})",
                 "value": round(value, 1),
                 "unit": "codewords/s",
                 "vs_baseline": round(value / BASELINE_CW_PER_S, 1),

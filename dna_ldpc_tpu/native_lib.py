@@ -61,6 +61,9 @@ def _build_and_load():
     charp = ctypes.c_char_p
     lib.mea_align.argtypes = [f32p, ctypes.c_int32, ctypes.c_int32, charp, charp, i32p, f32p]
     lib.mea_score.argtypes = [f32p, ctypes.c_int32, ctypes.c_int32, f32p]
+    lib.merge_overlap_batch.argtypes = [
+        i8p, i8p, i64p, i64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32, i64p, i64p,
+    ]
     _lib = lib
     return lib
 
@@ -154,3 +157,27 @@ def mea_score_native(post: np.ndarray) -> float:
     lib.mea_score(_ptr(post, ctypes.c_float), ctypes.c_int32(LX), ctypes.c_int32(LY),
                   _ptr(score, ctypes.c_float))
     return float(score[0])
+
+
+def merge_overlap_batch_native(
+    m1: np.ndarray, m2: np.ndarray, l1: np.ndarray, l2: np.ndarray, min_overlap: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Best-overlap scoring for paired-end merging (pipeline/ingest.py):
+    returns (best_o, best_mm) per pair. m1/m2: [n, L] uint8 C-contiguous
+    (m2 already reverse-complemented)."""
+    lib = _build_and_load()
+    assert lib is not None
+    m1 = np.ascontiguousarray(m1, np.uint8)
+    m2 = np.ascontiguousarray(m2, np.uint8)
+    l1 = np.ascontiguousarray(l1, np.int64)
+    l2 = np.ascontiguousarray(l2, np.int64)
+    n, L = m1.shape
+    best_o = np.zeros(n, np.int64)
+    best_mm = np.zeros(n, np.int64)
+    lib.merge_overlap_batch(
+        _ptr(m1, ctypes.c_uint8), _ptr(m2, ctypes.c_uint8),
+        _ptr(l1, ctypes.c_int64), _ptr(l2, ctypes.c_int64),
+        ctypes.c_int64(n), ctypes.c_int64(L), ctypes.c_int32(min_overlap),
+        _ptr(best_o, ctypes.c_int64), _ptr(best_mm, ctypes.c_int64),
+    )
+    return best_o, best_mm

@@ -100,6 +100,7 @@ def bp_decode(
     max_iter: int = 200,
     clip: Optional[float] = None,
     early_stop: bool = True,
+    mode: Optional[str] = None,
 ) -> BpResult:
     """Decode a batch of LLR vectors. llr: [B, N], sign convention
     LLR >= 0 <=> bit 0 (log p0/p1, matching DNA_main.cpp:1340-1345).
@@ -110,10 +111,11 @@ def bp_decode(
 
     Codes with permutation-block (protograph) structure automatically take
     the MXU routing fast path (:func:`bp_decode_blocked`, same semantics);
-    pass a graph built with ``detect_blocked=False`` or an explicit
+    ``mode`` selects its variant (exact/fast/bf16/pallas; None = exact).
+    Pass a graph built with ``detect_blocked=False`` or an explicit
     ``clip`` to force the generic gather path."""
     if graph.blocked is not None and clip is None:
-        return bp_decode_blocked(graph.blocked, llr, max_iter, early_stop)
+        return bp_decode_blocked(graph.blocked, llr, max_iter, early_stop, mode=mode)
     return _bp_decode_jit(graph, max_iter, clip, early_stop)(llr)
 
 
@@ -229,11 +231,23 @@ def bp_decode_blocked(
       by FER parity on trial-like workloads rather than bitwise equality.
       ~2900 codewords/s.
 
+    - ``"pallas"``: the fused single-kernel decoder
+      (:mod:`ops.bp_pallas`) — bf16 tanh-domain message streaming, exact
+      forward/backward exclusive products, on-the-fly one-hot routing,
+      and per-chunk early stopping on-core. The fastest mode under the
+      reference's real semantics (max_iter=200 + syndrome early stop):
+      ~11,300 codewords/s on trial-like workloads, ~4x the XLA modes.
+      Requires q % 128 == 0 on hardware (deployed code: q=256).
+
     LLRs must be finite; non-finite inputs are sanitized (NaN -> tiny
     negative, i.e. the reference's NaN->bit-1 rule; +/-inf clipped).
     """
     if mode is None:
         mode = "exact" if exact_routing else "fast"
+    if mode == "pallas":
+        from .bp_pallas import bp_decode_blocked_pallas
+
+        return bp_decode_blocked_pallas(code, llr, max_iter, early_stop)
     if mode not in ("exact", "fast", "bf16"):
         raise ValueError(f"unknown mode {mode!r}")
     R_vc, A_sum = code.routing_tables()

@@ -1,0 +1,341 @@
+"""Fused Pallas TPU kernel for blocked (protograph) LDPC belief propagation.
+
+This is the speed-of-light path for the deployed RS-LDPC code. The XLA
+blocked decoder (``ops/bp.py:bp_decode_blocked``) is already 13,000x the
+reference CPU pipeline, but it is HBM-bound: every iteration re-reads two
+~75 MB one-hot routing operators and materializes f32 intermediates for
+the check update, ~2.3 GB of HBM traffic per iteration. This kernel fuses
+one full BP iteration (check update, posterior accumulation, variable
+update, syndrome) into a single Pallas program in which
+
+- messages are stored once in HBM as bf16 *tanh-domain* slabs
+  ``t = tanh(v2c / 2)`` and streamed through VMEM per (coset g, column
+  group j); per-iteration HBM traffic is ~0.6 GB (4 message-array sweeps
+  + the channel LLRs), ~4x less than the XLA path;
+- the exclusive check-node products are *exact forward/backward sweeps*
+  over the J=72 edges of each check — the same two-sweep scheme as the
+  reference (``LDPC_dec/ldpc/dec.cpp:646-662``), including its exact
+  zero-message (erasure) propagation, with no log/exp in the hot loop;
+- routing between variable and check order is a q x q one-hot matmul on
+  the MXU whose operand is built on the fly in VMEM from the [G, J, q]
+  permutation index table (590 KB instead of 2 x 75 MB of materialized
+  one-hot tensors) — ``T1[v, r] = (pi[g, j, r] == v)``, contracted on r
+  for check->variable routing and on v for variable->check routing;
+- each batch chunk of ``block_b`` codewords runs its own early-stopped
+  ``while`` loop on-core, with per-codeword result latching identical to
+  the XLA decoder (bits/iterations/unsat latch at first zero syndrome;
+  decision semantics ``pr <= 1`` with NaN -> 1, init decision ``< 0``).
+
+Decision/latching semantics match ``bp_decode`` exactly; numerically the
+kernel is the "bf16" throughput mode (bf16 message storage, f32 check
+math and posterior accumulation), validated by FER parity on trial-like
+workloads (tests/test_bp_pallas.py) like the XLA bf16 mode.
+
+Reference anchors: flooding schedule ``dec.cpp:583-605``; check update
+``dec.cpp:646-662``; variable update/decision ``dec.cpp:667-693``;
+syndrome stop ``check.cpp:28-47``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# te (product of tanh's) is clipped so c2v = log((1+te)/(1-te)) survives the
+# round-trip through bf16 tanh-domain storage (same back-off as the XLA
+# bf16 mode's clip).
+_TE_CLIP = 1.0 - 1e-5
+
+
+def _bp_kernel(max_iter: int, early_stop: bool, G: int, J: int, q: int, Bc: int):
+    """Build the kernel body for one (G, J, q) blocked code and chunk size."""
+    f32, bf16, i32, u8 = jnp.float32, jnp.bfloat16, jnp.int32, jnp.uint8
+
+    def rd(ref, j):
+        # dynamic leading-dim read: [J, Bc, q] ref -> [Bc, q] slab j
+        return ref[pl.ds(j, 1)].reshape(Bc, q)
+
+    def wr(ref, j, val):
+        ref[pl.ds(j, 1)] = val.reshape(1, Bc, q)
+
+    def kernel(
+        pi_ref,      # [G, J, q] i32 (VMEM): pi[g,j,r] = variable element of check r
+        llr_ref,     # [nc, J, Bc, q] f32 (HBM)
+        bits_ref,    # [nc, J, Bc, q] u8 (HBM out)
+        unsat_ref,   # [1, Bc, 1] i32 (VMEM out block)
+        iters_ref,   # [1, Bc, 1] i32 (VMEM out block)
+        t_hbm,       # [G, J, Bc, q] bf16 (HBM "output" used as scratch):
+                     #   tanh-domain v2c messages (Mosaic only allows
+                     #   VMEM/SMEM/semaphore scratch_shapes, so the big
+                     #   HBM message buffers are ANY-space outputs)
+        c2v_hbm,     # [G, J, Bc, q] bf16 (HBM output-as-scratch)
+        post,        # [J, Bc, q] f32 (VMEM): posterior accumulator
+        tg,          # [J, Bc, q] bf16 (VMEM): message slab for the current coset
+        bbuf,        # [J, Bc, q] f32 (VMEM): backward partial products
+        bits_l,      # [J, Bc, q] u8 (VMEM): latched hard decisions
+        psum,        # [Bc, q] i32 (VMEM): check-side bit sums for parity
+        done_v,      # [Bc, 1] i32 (VMEM)
+        unsat_v,     # [Bc, 1] i32 (VMEM)
+        iters_v,     # [Bc, 1] i32 (VMEM)
+        sem,         # DMA semaphores (3,)
+    ):
+        i = pl.program_id(0)
+
+        def onehot(g, j):
+            # T1[v, r] = 1 iff pi[g, j, r] == v (both routing directions
+            # contract against this single orientation)
+            pi_row = pi_ref[g, pl.ds(j, 1), :]  # [1, q]
+            iov = jax.lax.broadcasted_iota(i32, (q, q), 0)
+            return (iov == pi_row).astype(bf16)
+
+        def route_to_v(x, oh):
+            # [Bc, q(r)] . T1[q(v), q(r)] contracted on r -> [Bc, q(v)]
+            return jax.lax.dot_general(
+                x, oh, (((1,), (1,)), ((), ())), preferred_element_type=f32
+            )
+
+        def route_to_c(x, oh):
+            # [Bc, q(v)] . T1[q(v), q(r)] contracted on v -> [Bc, q(r)]
+            return jax.lax.dot_general(
+                x, oh, (((1,), (0,)), ((), ())), preferred_element_type=f32
+            )
+
+        def load_llr():
+            cp = pltpu.make_async_copy(llr_ref.at[i], post, sem.at[0])
+            cp.start()
+            cp.wait()
+
+        # ---- init: post := llr; v2c0 = route(llr); syndrome of channel bits
+        load_llr()
+        unsat0 = jnp.zeros((Bc, 1), i32)
+        for g in range(G):
+            psum[...] = jnp.zeros((Bc, q), i32)
+
+            def init_j(j, _):
+                oh = onehot(g, j)
+                v0 = route_to_c(rd(post, j).astype(bf16), oh)
+                wr(tg, j, jnp.tanh(v0 * 0.5).astype(bf16))
+                psum[...] += (v0 < 0).astype(i32)
+                return 0
+
+            jax.lax.fori_loop(0, J, init_j, 0)
+            unsat0 = unsat0 + jnp.sum(psum[...] % 2, axis=1, keepdims=True)
+            cp = pltpu.make_async_copy(tg, t_hbm.at[g], sem.at[1])
+            cp.start()
+            cp.wait()
+
+        def bits0_j(j, _):
+            # initial decision: bit = (lratio < 1) i.e. llr < 0 (strict)
+            wr(bits_l, j, (rd(post, j) < 0).astype(u8))
+            return 0
+
+        jax.lax.fori_loop(0, J, bits0_j, 0)
+        done_v[...] = (unsat0 == 0).astype(i32)
+        unsat_v[...] = unsat0
+        iters_v[...] = jnp.zeros((Bc, 1), i32)
+
+        # ---- iteration loop (early-stopped per chunk) ----
+        ones = jnp.ones((Bc, q), f32)
+
+        def body(carry):
+            n, _ = carry
+            done_prev = done_v[...] > 0  # [Bc, 1] bool
+
+            # Phase B: check update + posterior accumulation
+            load_llr()  # post := llr
+            for g in range(G):
+                cp = pltpu.make_async_copy(t_hbm.at[g], tg, sem.at[0])
+                cp.start()
+                cp.wait()
+                # backward partial products of t over the J edges per check
+                wr(bbuf, J - 1, ones)
+
+                def bwd(k, _):
+                    j = J - 2 - k
+                    wr(bbuf, j, rd(tg, j + 1).astype(f32) * rd(bbuf, j + 1))
+                    return 0
+
+                jax.lax.fori_loop(0, J - 1, bwd, 0)
+
+                def fwd(j, F):
+                    t_j = rd(tg, j).astype(f32)
+                    te = F * rd(bbuf, j)  # exclusive product (exact, incl. zeros)
+                    te = jnp.clip(te, -_TE_CLIP, _TE_CLIP)
+                    c2v = jnp.log((1.0 + te) / (1.0 - te)).astype(bf16)
+                    oh = onehot(g, j)
+                    wr(post, j, rd(post, j) + route_to_v(c2v, oh))
+                    wr(tg, j, c2v)  # tg becomes the c2v slab
+                    return F * t_j
+
+                jax.lax.fori_loop(0, J, fwd, ones)
+                cp = pltpu.make_async_copy(tg, c2v_hbm.at[g], sem.at[1])
+                cp.start()
+                cp.wait()
+
+            # latch hard decisions: pr <= 1 with NaN -> 1 == ~(post > 0)
+            def blend(j, _):
+                newb = jnp.logical_not(rd(post, j) > 0).astype(u8)
+                wr(bits_l, j, jnp.where(done_prev, rd(bits_l, j), newb))
+                return 0
+
+            jax.lax.fori_loop(0, J, blend, 0)
+
+            # Phase C: variable update + syndrome of the new decisions
+            unsat_acc = jnp.zeros((Bc, 1), i32)
+            for g in range(G):
+                cp = pltpu.make_async_copy(c2v_hbm.at[g], tg, sem.at[0])
+                cp.start()
+                cp.wait()
+                psum[...] = jnp.zeros((Bc, q), i32)
+
+                def upd(j, _):
+                    oh = onehot(g, j)
+                    c2v = rd(tg, j).astype(f32)
+                    postpc = route_to_c(rd(post, j).astype(bf16), oh)
+                    v = postpc - c2v  # exclusive: routing is linear
+                    wr(tg, j, jnp.tanh(v * 0.5).astype(bf16))
+                    psum[...] += jnp.logical_not(postpc > 0).astype(i32)
+                    return 0
+
+                jax.lax.fori_loop(0, J, upd, 0)
+                unsat_acc = unsat_acc + jnp.sum(psum[...] % 2, axis=1, keepdims=True)
+                cp = pltpu.make_async_copy(tg, t_hbm.at[g], sem.at[1])
+                cp.start()
+                cp.wait()
+
+            newly = unsat_acc == 0
+            unsat_v[...] = jnp.where(done_prev, unsat_v[...], unsat_acc)
+            iters_v[...] = jnp.where(done_prev, iters_v[...], jnp.full((Bc, 1), n + 1, i32))
+            done_new = jnp.logical_or(done_prev, newly)
+            done_v[...] = done_new.astype(i32)
+            alldone = jnp.sum(done_new.astype(i32)) == Bc
+            return n + 1, alldone
+
+        def cond(carry):
+            n, alldone = carry
+            if not early_stop:
+                return n < max_iter
+            return jnp.logical_and(n < max_iter, jnp.logical_not(alldone))
+
+        alldone0 = jnp.sum(done_v[...]) == Bc
+        jax.lax.while_loop(cond, body, (jnp.int32(0), alldone0))
+
+        # ---- outputs ----
+        cp = pltpu.make_async_copy(bits_l, bits_ref.at[i], sem.at[2])
+        cp.start()
+        cp.wait()
+        unsat_ref[0] = unsat_v[...]
+        iters_ref[0] = iters_v[...]
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=16)
+def _bp_pallas_call(code, max_iter: int, early_stop: bool, Bc: int, interpret: bool):
+    G, J, q = code.G, code.J, code.q
+    pi = jnp.asarray(code.pi, jnp.int32)
+    canon_idx = jnp.asarray(code.canonical_gather())
+    ext_idx = jnp.asarray(code.external_gather())
+    N = code.n_vars
+
+    kernel = _bp_kernel(max_iter, early_stop, G, J, q, Bc)
+
+    def run(llr: jax.Array):
+        B = llr.shape[0]
+        assert B % Bc == 0
+        nc = B // Bc
+        big = jnp.asarray(jnp.finfo(llr.dtype).max, llr.dtype)
+        llr = jnp.where(jnp.isnan(llr), jnp.asarray(-1e-30, llr.dtype), jnp.clip(llr, -big, big))
+        # [B, N] external -> [nc, J, Bc, q] canonical chunk-major
+        llr_c = llr[:, canon_idx].astype(jnp.float32)
+        llr_c = llr_c.reshape(nc, Bc, J, q).transpose(0, 2, 1, 3)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(nc,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # pi
+                pl.BlockSpec(memory_space=pl.ANY),   # llr (HBM)
+            ],
+            out_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),   # bits (HBM)
+                pl.BlockSpec((1, Bc, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Bc, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                # HBM message buffers as outputs: Mosaic scratch_shapes
+                # only allow VMEM/SMEM/semaphores, so the two big message
+                # arrays (reused by every grid step) are ANY-space outputs
+                pl.BlockSpec(memory_space=pl.ANY),   # t messages
+                pl.BlockSpec(memory_space=pl.ANY),   # c2v scratch
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((J, Bc, q), jnp.float32),      # post
+                pltpu.VMEM((J, Bc, q), jnp.bfloat16),     # tg
+                pltpu.VMEM((J, Bc, q), jnp.float32),      # bbuf
+                pltpu.VMEM((J, Bc, q), jnp.uint8),        # bits_l
+                pltpu.VMEM((Bc, q), jnp.int32),           # psum
+                pltpu.VMEM((Bc, 1), jnp.int32),           # done
+                pltpu.VMEM((Bc, 1), jnp.int32),           # unsat
+                pltpu.VMEM((Bc, 1), jnp.int32),           # iters
+                pltpu.SemaphoreType.DMA((3,)),
+            ],
+        )
+        bits_c, unsat, iters, _, _ = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((nc, J, Bc, q), jnp.uint8),
+                jax.ShapeDtypeStruct((nc, Bc, 1), jnp.int32),
+                jax.ShapeDtypeStruct((nc, Bc, 1), jnp.int32),
+                jax.ShapeDtypeStruct((G, J, Bc, q), jnp.bfloat16),
+                jax.ShapeDtypeStruct((G, J, Bc, q), jnp.bfloat16),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(pi, llr_c)
+        # [nc, J, Bc, q] canonical -> [B, N] external
+        bits = bits_c.transpose(0, 2, 1, 3).reshape(B, N)[:, ext_idx]
+        return bits, unsat.reshape(B), iters.reshape(B)
+
+    return jax.jit(run)
+
+
+def bp_decode_blocked_pallas(
+    code,
+    llr: jax.Array,
+    max_iter: int = 200,
+    early_stop: bool = True,
+    block_b: int = 64,
+    interpret: bool | None = None,
+):
+    """Decode a batch of LLRs with the fused Pallas kernel.
+
+    ``code`` is a ``models.blocked.BlockedCode``; on TPU hardware ``q``
+    must be a multiple of 128 (the deployed code has q=256). On CPU the
+    kernel runs in interpreter mode (tests). The batch is padded to a
+    multiple of ``block_b``; zero-LLR padding rows converge at iteration
+    0 and cost nothing under early stopping.
+    """
+    from .bp import BpResult  # local import: avoid cycle
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    if not interpret and (code.q % 128 != 0):
+        raise ValueError(
+            f"pallas BP requires q % 128 == 0 on TPU (q={code.q}); "
+            "use the XLA blocked modes for small-q codes"
+        )
+    B = llr.shape[0]
+    Bc = min(block_b, max(8, B))
+    pad = (-B) % Bc
+    if pad:
+        llr = jnp.concatenate([llr, jnp.zeros((pad, llr.shape[1]), llr.dtype)], axis=0)
+    bits, unsat, iters = _bp_pallas_call(code, max_iter, early_stop, Bc, interpret)(llr)
+    bits, unsat, iters = bits[:B], unsat[:B], iters[:B]
+    return BpResult(bits=bits, success=unsat == 0, iterations=iters, unsat=unsat)

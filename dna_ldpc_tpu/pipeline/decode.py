@@ -54,6 +54,10 @@ class TrialConfig:
     anneal_floor: float = 0.001
     strict_reference_failure_tracking: bool = False
     max_decode_batch: int = 1024
+    # BP variant for blocked codes: None = auto (the fused Pallas kernel
+    # on TPU hardware when the code supports it, exact otherwise);
+    # "exact"/"fast"/"bf16"/"pallas" to force (ops/bp.py docstrings)
+    bp_mode: str | None = None
 
 
 @dataclass
@@ -86,7 +90,21 @@ def deployed_graph() -> LdpcGraph:
     return _graph_cache[0]
 
 
-def _decode_batch(graph, llrs: np.ndarray, max_iter: int) -> np.ndarray:
+def _auto_bp_mode(graph) -> str | None:
+    """None (exact XLA) unless the fused Pallas kernel applies: blocked
+    code with MXU-tileable q, on TPU hardware."""
+    import jax
+
+    if (
+        graph.blocked is not None
+        and graph.blocked.q % 128 == 0
+        and jax.default_backend() != "cpu"
+    ):
+        return "pallas"
+    return None
+
+
+def _decode_batch(graph, llrs: np.ndarray, max_iter: int, mode: str | None = None) -> np.ndarray:
     """BP-decode [K, N] float soft values -> [K, N] hard outputs.
 
     The batch is padded to a power of two so the annealing loop's varying
@@ -98,7 +116,7 @@ def _decode_batch(graph, llrs: np.ndarray, max_iter: int) -> np.ndarray:
     Kb = 1 << (K - 1).bit_length() if K > 1 else 1
     if Kb != K:
         llrs = np.concatenate([llrs, np.zeros((Kb - K, llrs.shape[1]), llrs.dtype)])
-    res = bp_decode(graph, jnp.asarray(llrs.astype(np.float32)), max_iter=max_iter)
+    res = bp_decode(graph, jnp.asarray(llrs.astype(np.float32)), max_iter=max_iter, mode=mode)
     return np.asarray(res.bits)[:K]
 
 
@@ -157,7 +175,8 @@ def decode_trial(
 
     # ---- first decoding: all 272 codewords in one batch --------------------
     t0 = time.time()
-    dec = _decode_batch(graph, soft, config.max_iter)
+    bp_mode = config.bp_mode if config.bp_mode is not None else _auto_bp_mode(graph)
+    dec = _decode_batch(graph, soft, config.max_iter, bp_mode)
     phase["first_decode"] = time.time() - t0
 
     hard = (soft < 0).astype(np.uint8)  # LLR >= 0 -> 0 (decoder.py:565-571)
@@ -181,7 +200,7 @@ def decode_trial(
         re_soft = soft[idx] * scale  # zeros stay zero
         epsil2 -= config.anneal_step
 
-        dec_f = _decode_batch(graph, re_soft, config.max_iter)
+        dec_f = _decode_batch(graph, re_soft, config.max_iter, bp_mode)
         dec[idx] = dec_f
         errs_f = (dec_f != codewords[idx]).sum(axis=1)
         if config.strict_reference_failure_tracking:

@@ -298,3 +298,51 @@ def read_fastq(path: str):
             elif m == 3:
                 quals.append(line)
     return headers, seqs, quals
+
+
+# ---------------------------------------------------------------------------
+# MATLAB .mat interop (rs_dec.exe artifacts)
+# ---------------------------------------------------------------------------
+
+
+def write_index_mats(out_dir: str, dec_binary_index: np.ndarray, cnumerr: np.ndarray) -> None:
+    """Write ``dec_binary_index.mat`` / ``cnumerr.mat`` exactly as
+    rs_dec.exe does (``rs_dec_init.m:52-53``): variable names match, so
+    the reference's ``scipy.io.loadmat`` consumer (``decoder.py:76-80``)
+    can read our files interchangeably."""
+    from scipy.io import savemat
+
+    savemat(
+        os.path.join(out_dir, "dec_binary_index.mat"),
+        {"dec_binary_index": np.asarray(dec_binary_index, np.float64)},
+    )
+    savemat(
+        os.path.join(out_dir, "cnumerr.mat"),
+        {"cnumerr": np.asarray(cnumerr, np.float64).reshape(-1, 1)},
+    )
+
+
+def read_index_mats(out_dir: str):
+    """Read rs_dec.exe's output pair; returns (dec_binary_index [N, 16]
+    uint8, cnumerr [N] int32) with MATLAB's -1 failure sentinel kept."""
+    from scipy.io import loadmat
+
+    m1 = loadmat(os.path.join(out_dir, "dec_binary_index.mat"))
+    m2 = loadmat(os.path.join(out_dir, "cnumerr.mat"))
+    dec = np.asarray(m1["dec_binary_index"]).astype(np.uint8)
+    cn = np.asarray(m2["cnumerr"]).reshape(-1).astype(np.int32)
+    return dec, cn
+
+
+def write_index_txt(path: str, index_bits: np.ndarray) -> None:
+    """``index.txt`` as decoder.py:63-64 writes it: the 32 index bits of
+    each read, whitespace-separated (rs_dec_init.m fscanf('%d'))."""
+    bits = np.asarray(index_bits).reshape(-1, 32)
+    with open(path, "w") as f:
+        for row in bits:
+            f.write(" ".join(str(int(b)) for b in row) + "\n")
+
+
+def read_index_txt(path: str) -> np.ndarray:
+    vals = np.loadtxt(path, dtype=np.int64).reshape(-1, 32)
+    return vals.astype(np.uint8)

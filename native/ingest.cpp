@@ -139,6 +139,42 @@ void edit_distance_batch(const uint8_t* bytes, const int64_t* offs,
     }
 }
 
+// Paired-end overlap scoring (pipeline/ingest.py merge_pairs hot loop):
+// for each pair, try every overlap length o in [min_o, min(l1,l2)] of
+// R1's suffix vs rc(R2)'s prefix; keep the lowest mismatch density
+// (ties -> longer overlap). 'N' positions are uninformative. m1/m2 are
+// [n, L] right-padded byte matrices (m2 already reverse-complemented).
+void merge_overlap_batch(const uint8_t* m1, const uint8_t* m2,
+                         const int64_t* l1, const int64_t* l2,
+                         int64_t n, int64_t L, int32_t min_o,
+                         int64_t* best_o, int64_t* best_mm) {
+    for (int64_t i = 0; i < n; ++i) {
+        const uint8_t* a_row = m1 + i * L;
+        const uint8_t* b_row = m2 + i * L;
+        const int64_t max_o = l1[i] < l2[i] ? l1[i] : l2[i];
+        double best_den = 1e300;
+        int64_t bo = 0, bm = 0;
+        for (int64_t o = min_o; o <= max_o; ++o) {
+            const uint8_t* a = a_row + (l1[i] - o);
+            int64_t mm = 0;
+            for (int64_t p = 0; p < o; ++p) {
+                const uint8_t x = a[p], y = b_row[p];
+                mm += (x != y) & (x != 'N') & (y != 'N');
+            }
+            const double den = (double)mm / (double)o;
+            // same tolerance rule as the numpy path: strictly better, or
+            // within 1e-12 (tie) -> the later (longer) overlap wins
+            if (den < best_den - 1e-12 || (den <= best_den + 1e-12 && den >= best_den - 1e-12)) {
+                best_den = den;
+                bo = o;
+                bm = mm;
+            }
+        }
+        best_o[i] = bo;
+        best_mm[i] = bm;
+    }
+}
+
 // Maximum-expected-accuracy alignment DP over a posterior matrix
 // (MUSCLE calcalnflat.cpp / tracebackflat.cpp): score recurrence
 // best(diag + post, up, left) with tie preference B >= X >= Y (best3.h),
