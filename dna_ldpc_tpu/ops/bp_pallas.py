@@ -75,14 +75,16 @@ def _bp_kernel(max_iter: int, early_stop: bool, G: int, J: int, q: int, Bc: int)
                      #   HBM message buffers are ANY-space outputs)
         c2v_hbm,     # [G, J, Bc, q] bf16 (HBM output-as-scratch)
         post,        # [J, Bc, q] f32 (VMEM): posterior accumulator
-        tg,          # [J, Bc, q] bf16 (VMEM): message slab for the current coset
+        tg2,         # [2, J, Bc, q] bf16 (VMEM): double-buffered coset slabs
         bbuf,        # [J, Bc, q] f32 (VMEM): backward partial products
         bits_l,      # [J, Bc, q] u8 (VMEM): latched hard decisions
         psum,        # [Bc, q] i32 (VMEM): check-side bit sums for parity
         done_v,      # [Bc, 1] i32 (VMEM)
         unsat_v,     # [Bc, 1] i32 (VMEM)
         iters_v,     # [Bc, 1] i32 (VMEM)
-        sem,         # DMA semaphores (3,)
+        sem,         # llr DMA semaphore
+        in_sem,      # (2,) slab in-DMA semaphores
+        out_sem,     # (2,) slab out-DMA semaphores
     ):
         i = pl.program_id(0)
 
@@ -106,28 +108,70 @@ def _bp_kernel(max_iter: int, early_stop: bool, G: int, J: int, q: int, Bc: int)
             )
 
         def load_llr():
-            cp = pltpu.make_async_copy(llr_ref.at[i], post, sem.at[0])
+            cp = pltpu.make_async_copy(llr_ref.at[i], post, sem)
             cp.start()
             cp.wait()
 
+        def rd2(slot, j):
+            return tg2[slot, pl.ds(j, 1)].reshape(Bc, q)
+
+        def wr2(slot, j, val):
+            tg2[slot, pl.ds(j, 1)] = val.reshape(1, Bc, q)
+
+        def in_copy(src_hbm, g, slot):
+            return pltpu.make_async_copy(src_hbm.at[g], tg2.at[slot], in_sem.at[slot])
+
+        def out_copy(dst_hbm, g, slot):
+            return pltpu.make_async_copy(tg2.at[slot], dst_hbm.at[g], out_sem.at[slot])
+
+        def stream_g(src_hbm, dst_hbm, body_fn):
+            """Double-buffered sweep over the G cosets: slab g streams in
+            from ``src_hbm`` (None for compute-only producers), body_fn
+            transforms it in place in tg2[slot], and the result streams
+            out to ``dst_hbm`` — coset g+1's input DMA and coset g-1's
+            output DMA ride under coset g's compute."""
+            if src_hbm is not None:
+                in_copy(src_hbm, 0, 0).start()
+            for g in range(G):
+                cur = g % 2
+                nxt = (g + 1) % 2
+                if src_hbm is not None:
+                    in_copy(src_hbm, g, cur).wait()
+                    if g + 1 < G:
+                        # nxt is free once its out-DMA (started at g-1) drains
+                        if g >= 1:
+                            out_copy(dst_hbm, g - 1, nxt).wait()
+                        in_copy(src_hbm, g + 1, nxt).start()
+                else:
+                    # compute-only producer writes tg2[cur] directly: wait
+                    # for the out-DMA started two cosets ago on this buffer
+                    if g >= 2:
+                        out_copy(dst_hbm, g - 2, cur).wait()
+                body_fn(g, cur)
+                out_copy(dst_hbm, g, cur).start()
+            if G >= 2:
+                out_copy(dst_hbm, G - 2, (G - 2) % 2).wait()
+            out_copy(dst_hbm, G - 1, (G - 1) % 2).wait()
+
         # ---- init: post := llr; v2c0 = route(llr); syndrome of channel bits
         load_llr()
-        unsat0 = jnp.zeros((Bc, 1), i32)
-        for g in range(G):
+        acc = [jnp.zeros((Bc, 1), i32)]
+
+        def init_body(g, slot):
             psum[...] = jnp.zeros((Bc, q), i32)
 
             def init_j(j, _):
                 oh = onehot(g, j)
                 v0 = route_to_c(rd(post, j).astype(bf16), oh)
-                wr(tg, j, jnp.tanh(v0 * 0.5).astype(bf16))
+                wr2(slot, j, jnp.tanh(v0 * 0.5).astype(bf16))
                 psum[...] += (v0 < 0).astype(i32)
                 return 0
 
             jax.lax.fori_loop(0, J, init_j, 0)
-            unsat0 = unsat0 + jnp.sum(psum[...] % 2, axis=1, keepdims=True)
-            cp = pltpu.make_async_copy(tg, t_hbm.at[g], sem.at[1])
-            cp.start()
-            cp.wait()
+            acc[0] = acc[0] + jnp.sum(psum[...] % 2, axis=1, keepdims=True)
+
+        stream_g(None, t_hbm, init_body)
+        unsat0 = acc[0]
 
         def bits0_j(j, _):
             # initial decision: bit = (lratio < 1) i.e. llr < 0 (strict)
@@ -148,34 +192,31 @@ def _bp_kernel(max_iter: int, early_stop: bool, G: int, J: int, q: int, Bc: int)
 
             # Phase B: check update + posterior accumulation
             load_llr()  # post := llr
-            for g in range(G):
-                cp = pltpu.make_async_copy(t_hbm.at[g], tg, sem.at[0])
-                cp.start()
-                cp.wait()
+
+            def phase_b(g, slot):
                 # backward partial products of t over the J edges per check
                 wr(bbuf, J - 1, ones)
 
                 def bwd(k, _):
                     j = J - 2 - k
-                    wr(bbuf, j, rd(tg, j + 1).astype(f32) * rd(bbuf, j + 1))
+                    wr(bbuf, j, rd2(slot, j + 1).astype(f32) * rd(bbuf, j + 1))
                     return 0
 
                 jax.lax.fori_loop(0, J - 1, bwd, 0)
 
                 def fwd(j, F):
-                    t_j = rd(tg, j).astype(f32)
+                    t_j = rd2(slot, j).astype(f32)
                     te = F * rd(bbuf, j)  # exclusive product (exact, incl. zeros)
                     te = jnp.clip(te, -_TE_CLIP, _TE_CLIP)
                     c2v = jnp.log((1.0 + te) / (1.0 - te)).astype(bf16)
                     oh = onehot(g, j)
                     wr(post, j, rd(post, j) + route_to_v(c2v, oh))
-                    wr(tg, j, c2v)  # tg becomes the c2v slab
+                    wr2(slot, j, c2v)  # the slab becomes c2v
                     return F * t_j
 
                 jax.lax.fori_loop(0, J, fwd, ones)
-                cp = pltpu.make_async_copy(tg, c2v_hbm.at[g], sem.at[1])
-                cp.start()
-                cp.wait()
+
+            stream_g(t_hbm, c2v_hbm, phase_b)
 
             # latch hard decisions: pr <= 1 with NaN -> 1 == ~(post > 0)
             def blend(j, _):
@@ -186,27 +227,25 @@ def _bp_kernel(max_iter: int, early_stop: bool, G: int, J: int, q: int, Bc: int)
             jax.lax.fori_loop(0, J, blend, 0)
 
             # Phase C: variable update + syndrome of the new decisions
-            unsat_acc = jnp.zeros((Bc, 1), i32)
-            for g in range(G):
-                cp = pltpu.make_async_copy(c2v_hbm.at[g], tg, sem.at[0])
-                cp.start()
-                cp.wait()
+            acc[0] = jnp.zeros((Bc, 1), i32)
+
+            def phase_c(g, slot):
                 psum[...] = jnp.zeros((Bc, q), i32)
 
                 def upd(j, _):
                     oh = onehot(g, j)
-                    c2v = rd(tg, j).astype(f32)
+                    c2v = rd2(slot, j).astype(f32)
                     postpc = route_to_c(rd(post, j).astype(bf16), oh)
                     v = postpc - c2v  # exclusive: routing is linear
-                    wr(tg, j, jnp.tanh(v * 0.5).astype(bf16))
+                    wr2(slot, j, jnp.tanh(v * 0.5).astype(bf16))
                     psum[...] += jnp.logical_not(postpc > 0).astype(i32)
                     return 0
 
                 jax.lax.fori_loop(0, J, upd, 0)
-                unsat_acc = unsat_acc + jnp.sum(psum[...] % 2, axis=1, keepdims=True)
-                cp = pltpu.make_async_copy(tg, t_hbm.at[g], sem.at[1])
-                cp.start()
-                cp.wait()
+                acc[0] = acc[0] + jnp.sum(psum[...] % 2, axis=1, keepdims=True)
+
+            stream_g(c2v_hbm, t_hbm, phase_c)
+            unsat_acc = acc[0]
 
             newly = unsat_acc == 0
             unsat_v[...] = jnp.where(done_prev, unsat_v[...], unsat_acc)
@@ -226,7 +265,7 @@ def _bp_kernel(max_iter: int, early_stop: bool, G: int, J: int, q: int, Bc: int)
         jax.lax.while_loop(cond, body, (jnp.int32(0), alldone0))
 
         # ---- outputs ----
-        cp = pltpu.make_async_copy(bits_l, bits_ref.at[i], sem.at[2])
+        cp = pltpu.make_async_copy(bits_l, bits_ref.at[i], sem)
         cp.start()
         cp.wait()
         unsat_ref[0] = unsat_v[...]
@@ -274,14 +313,16 @@ def _bp_pallas_call(code, max_iter: int, early_stop: bool, Bc: int, interpret: b
             ],
             scratch_shapes=[
                 pltpu.VMEM((J, Bc, q), jnp.float32),      # post
-                pltpu.VMEM((J, Bc, q), jnp.bfloat16),     # tg
+                pltpu.VMEM((2, J, Bc, q), jnp.bfloat16),  # tg2 (double buffer)
                 pltpu.VMEM((J, Bc, q), jnp.float32),      # bbuf
                 pltpu.VMEM((J, Bc, q), jnp.uint8),        # bits_l
                 pltpu.VMEM((Bc, q), jnp.int32),           # psum
                 pltpu.VMEM((Bc, 1), jnp.int32),           # done
                 pltpu.VMEM((Bc, 1), jnp.int32),           # unsat
                 pltpu.VMEM((Bc, 1), jnp.int32),           # iters
-                pltpu.SemaphoreType.DMA((3,)),
+                pltpu.SemaphoreType.DMA,       # llr / bits
+                pltpu.SemaphoreType.DMA((2,)),  # slab in
+                pltpu.SemaphoreType.DMA((2,)),  # slab out
             ],
         )
         bits_c, unsat, iters, _, _ = pl.pallas_call(
@@ -332,7 +373,10 @@ def bp_decode_blocked_pallas(
             "use the XLA blocked modes for small-q codes"
         )
     B = llr.shape[0]
-    Bc = min(block_b, max(8, B))
+    # always use the full chunk size: small batches pad up (padding rows
+    # cost nothing under early stop), and a fixed Bc keeps one compiled
+    # kernel shape and stays above the bf16 16-sublane tile minimum
+    Bc = block_b
     pad = (-B) % Bc
     if pad:
         llr = jnp.concatenate([llr, jnp.zeros((pad, llr.shape[1]), llr.dtype)], axis=0)

@@ -162,6 +162,36 @@ def upgma_join_order(dist: np.ndarray) -> list[tuple[int, int]]:
     return joins
 
 
+def joins_to_newick(joins: list[tuple[int, int]], labels: list[str] | None = None) -> str:
+    """Serialize a UPGMA join list as a Newick tree string (the guide
+    tree object the reference builds in ``MUSCLE/src/tree.cpp`` and can
+    emit via its ``-guidetreeout`` style tooling). Branch lengths are
+    omitted (join order is all the progressive aligner consumes)."""
+    n = len(joins) + 1
+    name = {i: (labels[i] if labels else f"s{i}") for i in range(n)}
+    for k, (a, b) in enumerate(joins):
+        name[n + k] = f"({name.pop(a)},{name.pop(b)})"
+    (root,) = name.values()
+    return root + ";"
+
+
+def guide_tree_newick(seqs: list[str], labels: list[str] | None = None) -> str:
+    """Compute the MPC guide tree for ``seqs`` (pair-HMM EA distances +
+    UPGMA biased linkage, mpcflat.cpp:195-208) and return it as Newick."""
+    from .pairhmm import batch_posteriors
+
+    n = len(seqs)
+    if n == 1:
+        return ((labels[0] if labels else "s0")) + ";"
+    pairs = cluster_pairs(n)
+    posts = batch_posteriors([seqs[i] for i, _ in pairs], [seqs[j] for _, j in pairs])
+    dist = np.zeros((n, n))
+    for p, (i, j) in enumerate(pairs):
+        ea = mea_score(posts[p]) / min(len(seqs[i]), len(seqs[j]))
+        dist[i, j] = dist[j, i] = 1.0 - min(max(ea, 0.0), 1.0)
+    return joins_to_newick(upgma_join_order(dist), labels)
+
+
 # ---------------------------------------------------------------------------
 # Profiles and gap insertion
 # ---------------------------------------------------------------------------

@@ -160,3 +160,17 @@ def test_index_mat_roundtrip(tmp_path):
     write_index_mats(str(tmp_path), dec_bits, cnumerr)
     rd, rc = read_index_mats(str(tmp_path))
     assert np.array_equal(rd, dec_bits) and np.array_equal(rc, cnumerr)
+
+
+def test_guide_tree_newick():
+    from dna_ldpc_tpu.ops.msa.align import guide_tree_newick, joins_to_newick
+
+    # deterministic structure for a simple join list
+    assert joins_to_newick([(0, 1), (3, 2)], ["a", "b", "c"]) == "((a,b),c);"
+    rng = np.random.default_rng(4)
+    base = "".join(rng.choice(list("ACGT"), 50))
+    seqs = [base, base[:25] + "A" + base[26:], "".join(rng.choice(list("ACGT"), 50))]
+    nw = guide_tree_newick(seqs)
+    assert nw.endswith(";") and nw.count("(") == 2
+    # the two near-identical sequences join first
+    assert "(s0,s1)" in nw or "(s1,s0)" in nw
