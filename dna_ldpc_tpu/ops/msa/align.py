@@ -381,7 +381,7 @@ def align_clusters(
     refine_iters: int = REFINE_ITERS,
     consistency_iters: int = CONSISTENCY_ITERS,
     seed: int = 0,
-    pair_chunk: int = 512,
+    pair_chunk: int = 2048,
 ) -> list[list[tuple[int, str]]]:
     """Align many clusters with the pair-HMM batched ACROSS clusters.
 

@@ -316,18 +316,70 @@ def _encode_batch(seqs_x, seqs_y, Lmax):
 
 
 def batch_posteriors(
-    seqs_x: list[str], seqs_y: list[str], Lmax: int | None = None, params=None
+    seqs_x: list[str], seqs_y: list[str], Lmax: int | None = None, params=None,
+    transport: str = "auto", top_k: int = 8,
 ) -> list[np.ndarray]:
     """Production path: match posteriors for a batch of pairs, assembled on
-    device; one host transfer of [P, Lmax, Lmax] total. ``params``
-    optionally overrides the HMM tables (ensemble perturbation)."""
+    device. ``params`` optionally overrides the HMM tables (ensemble
+    perturbation).
+
+    ``transport`` controls the device->host form:
+
+    - ``"dense"``: one [P, Lmax, Lmax] f32 tensor (exact; ~52 MB per 512
+      pairs at Lmax=160 — expensive when the host link is thin);
+    - ``"sparse"``: per row, the ``top_k`` entries as bf16 values + uint8
+      column indices assembled ON DEVICE — ~26x less transfer. The 0.01
+      sparsity threshold (MIN_SPARSE_PROB) already prunes posterior rows
+      to a handful of entries for DNA-storage-like reads, so top-8 is
+      lossless in practice; rows are renormalization-free (values are
+      used additively downstream). Requires Lmax <= 255 (1-based uint8
+      column indices; 0 is the prune marker).
+    - ``"auto"``: sparse when eligible, else dense.
+    """
     X, Y, Xr, Yr, lxp, lyp, lx, ly, Lmax = _encode_batch(seqs_x, seqs_y, Lmax)
+    P = len(seqs_x)
+    if transport == "auto":
+        transport = "sparse" if Lmax <= 255 else "dense"
+    if transport == "sparse" and Lmax > 255:
+        raise ValueError("sparse transport requires Lmax <= 255 (uint8 indices)")
+    if transport == "sparse":
+        vals, idx = _posteriors_device_sparse(
+            jnp.asarray(X), jnp.asarray(Y), jnp.asarray(Xr), jnp.asarray(Yr),
+            jnp.asarray(lxp), jnp.asarray(lyp), Lmax, top_k, params,
+        )
+        vals = np.asarray(vals, np.float32)  # [P, Lmax, K]
+        idx = np.asarray(idx)                # [P, Lmax, K] uint8
+        out = []
+        rows = np.arange(Lmax)[:, None]
+        for p in range(P):
+            # indices are 1-based with 0 = pruned: scatter into an extra
+            # leading column that acts as the prune sink, then drop it
+            dense = np.zeros((Lmax, Lmax + 1), np.float32)
+            dense[rows, idx[p].astype(np.int64)] = vals[p]
+            out.append(dense[: lx[p], 1 : ly[p] + 1])
+        return out
     post, _ = _posteriors_device(
         jnp.asarray(X), jnp.asarray(Y), jnp.asarray(Xr), jnp.asarray(Yr),
         jnp.asarray(lxp), jnp.asarray(lyp), Lmax, params,
     )
     post = np.asarray(post)
-    return [post[p, : lx[p], : ly[p]] for p in range(len(seqs_x))]
+    return [post[p, : lx[p], : ly[p]] for p in range(P)]
+
+
+@functools.partial(jax.jit, static_argnums=(6, 7))
+def _posteriors_device_sparse(X, Y, Xr, Yr, lx, ly, Lmax, top_k, params=None):
+    """Top-k row sparsification of the match posteriors, on device.
+
+    Posterior columns are 1-based (j in 1..Lmax maps to post[:, :, j-1]);
+    the returned uint8 indices are the 1-based j of each kept entry, with
+    0 marking pruned slots (values there are exactly 0) — the host
+    scatters into column j and drops column 0."""
+    post, _ = _posteriors_device(X, Y, Xr, Yr, lx, ly, Lmax, params)
+    vals, idx = jax.lax.top_k(post, top_k)             # [P, Lmax, K]
+    keep = vals > 0.0
+    vals = jnp.where(keep, vals, 0.0).astype(jnp.bfloat16)
+    idx1 = jnp.where(keep, idx + 1, 0).astype(jnp.uint8)
+    return vals, idx1
 
 
 # ---------------------------------------------------------------------------

@@ -129,3 +129,24 @@ def test_two_sequence_align_no_consistency_no_refine():
     w = len(rows[0][1])
     assert len(rows[1][1]) == w
     assert rows[1][1].count("-") == 2
+
+
+def test_sparse_transport_matches_dense():
+    """Top-k bf16 sparse device->host transport must reproduce the dense
+    posteriors: identical support (0.01-pruned rows hold <= top_k entries)
+    and bf16-level value agreement."""
+    from dna_ldpc_tpu.ops.msa.pairhmm import batch_posteriors
+
+    rng = random.Random(7)
+    xs, ys = [], []
+    for _ in range(8):
+        base = _rand_seq(rng, rng.randint(40, 120))
+        xs.append(base)
+        ys.append(_mutate(rng, base, subs=3, dels=2, inss=2))
+    dense = batch_posteriors(xs, ys, transport="dense")
+    sparse = batch_posteriors(xs, ys, transport="sparse")
+    assert len(dense) == len(sparse)
+    for d, s in zip(dense, sparse):
+        assert d.shape == s.shape
+        np.testing.assert_array_equal(d > 0, s > 0)
+        np.testing.assert_allclose(s, d, rtol=8e-3, atol=1e-6)
