@@ -175,6 +175,82 @@ def joins_to_newick(joins: list[tuple[int, int]], labels: list[str] | None = Non
     return root + ";"
 
 
+def permute_join_order(
+    joins: list[tuple[int, int]], perm: str
+) -> list[tuple[int, int]]:
+    """MUSCLE guide-tree permutations (``permutetree.cpp`` PermuteTree):
+    split the tree into A (the subtree whose leaf count is closest to 1/3
+    of the leaves), then split the remainder in half into B and C, and
+    rejoin as ``abc``=((A,B),C), ``acb``=((A,C),B), ``bca``=((B,C),A).
+    Trees with fewer than 10 leaves are returned unchanged
+    (permutetree.cpp:69-75). Node ids follow upgma_join_order's
+    convention: leaves 0..n-1, internal n+k for join k."""
+    n = len(joins) + 1
+    if perm in (None, "none") or n < 10:
+        return list(joins)
+    if perm not in ("abc", "acb", "bca"):
+        raise ValueError(f"unknown tree permutation {perm!r}")
+
+    # nested-tuple tree structure (children precede parents in the join list)
+    node: dict[int, object] = {i: i for i in range(n)}
+    for k, (a, b) in enumerate(joins):
+        node[n + k] = (node[a], node[b])
+    root = node[n + len(joins) - 1]
+
+    def leaf_count(s) -> int:
+        return 1 if isinstance(s, int) else leaf_count(s[0]) + leaf_count(s[1])
+
+    def leaf_set(s) -> set:
+        return {s} if isinstance(s, int) else leaf_set(s[0]) | leaf_set(s[1])
+
+    def divide_fraction(tree, fract):
+        """Split off the subtree whose leaf count best matches
+        fract * total (DivideTreeFraction; first best in pre-order wins,
+        the root itself excluded so the remainder is nonempty)."""
+        total = leaf_count(tree)
+        target = max(1, int(total * fract + 0.5))
+        best, best_diff = None, None
+        stack = [(tree, True)]
+        while stack:
+            s, is_root = stack.pop()
+            if not is_root:
+                diff = abs(leaf_count(s) - target)
+                if best_diff is None or diff < best_diff:
+                    best, best_diff = s, diff
+            if not isinstance(s, int):
+                stack.append((s[1], False))
+                stack.append((s[0], False))
+        keep = leaf_set(tree) - leaf_set(best)
+
+        def induce(s):
+            if isinstance(s, int):
+                return s if s in keep else None
+            left, right = induce(s[0]), induce(s[1])
+            if left is None:
+                return right
+            if right is None:
+                return left
+            return (left, right)
+
+        return best, induce(tree)
+
+    A, BC = divide_fraction(root, 0.33)
+    B, C = divide_fraction(BC, 0.5)
+    permuted = {"abc": ((A, B), C), "acb": ((A, C), B), "bca": ((B, C), A)}[perm]
+
+    out: list[tuple[int, int]] = []
+
+    def flatten(s) -> int:  # post-order join emission
+        if isinstance(s, int):
+            return s
+        a, b = flatten(s[0]), flatten(s[1])
+        out.append((a, b))
+        return n + len(out) - 1
+
+    flatten(permuted)
+    return out
+
+
 def guide_tree_newick(seqs: list[str], labels: list[str] | None = None) -> str:
     """Compute the MPC guide tree for ``seqs`` (pair-HMM EA distances +
     UPGMA biased linkage, mpcflat.cpp:195-208) and return it as Newick."""
@@ -269,6 +345,7 @@ def align(
     seed: int = 0,
     pair_posts: list[np.ndarray] | None = None,
     hmm_params=None,
+    tree_perm: str = "none",
 ) -> list[tuple[int, str]]:
     """Align sequences; returns [(input ordinal, aligned row)] in input
     order. Single sequence passes through unchanged.
@@ -318,8 +395,8 @@ def align(
                 new_posts[(i, j)] = upd
             posts = new_posts
 
-    # 3. guide tree + join order
-    joins = upgma_join_order(dist)
+    # 3. guide tree + join order (+ optional ensemble tree permutation)
+    joins = permute_join_order(upgma_join_order(dist), tree_perm)
 
     # 4. progressive alignment
     nodes: dict[int, _Profile] = {

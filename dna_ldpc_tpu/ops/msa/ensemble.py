@@ -10,9 +10,10 @@ qscore/qscore2 accuracy scoring):
   factor exp(U(-delta, delta)) and renormalize — PerturbProbs;
 - ``ensemble_align``: N replicates; ``stratified`` varies only the
   refinement/tie-break seed per replicate, ``diversified`` additionally
-  perturbs the HMM and permutes the input presentation order (the guide
-  tree's tie-break axis; MUSCLE permutes the guide tree itself — same
-  diversity axis, different mechanism, noted deviation);
+  perturbs the HMM and applies MUSCLE's guide-tree permutations
+  (none/abc/acb/bca cycling per replicate, ``permutetree.cpp``);
+- ``write_efa`` / ``read_efa``: the EFA (ensemble FASTA) container MUSCLE
+  stores ensembles in (``ensemble.cpp:79-134``);
 - ``column_confidence`` / ``select_by_cc``: per-replicate CC values
   (fraction of columns reproduced by the other replicates) and max-CC
   selection, MUSCLE's recommended way to pick from an ensemble;
@@ -69,26 +70,89 @@ def ensemble_align(
     if mode not in ("perturb", "stratified", "diversified"):
         raise ValueError(f"unknown ensemble mode {mode!r}")
     out = []
-    n = len(seqs)
     for r in range(replicates):
         seed = base_seed * 1000 + r
         params = (
             perturb_params(seed, delta) if mode in ("perturb", "diversified") and r > 0
             else None
         )
-        order = np.arange(n)
-        if mode == "diversified" and r > 0:
-            np.random.default_rng(seed).shuffle(order)
+        perm = "none"
+        if mode == "diversified":
+            perm = ("none", "abc", "acb", "bca")[r % 4]
         rows = align(
-            [seqs[i] for i in order],
+            seqs,
             refine_iters=refine_iters,
             seed=seed,
             hmm_params=params,
+            tree_perm=perm,
         )
-        # map ordinals back to the original presentation order
-        remapped = sorted((int(order[o]), row) for o, row in rows)
-        out.append(remapped)
+        out.append(sorted(rows))
     return out
+
+
+def write_efa(
+    path: str,
+    ensemble: list[list[tuple[int, str]]],
+    names: list[str] | None = None,
+) -> None:
+    """Write an ensemble in MUSCLE's EFA (ensemble FASTA) container: each
+    MSA is introduced by a ``<name`` line followed by its FASTA records
+    (``ensemble.cpp:119-134`` ToEFA), rows wrapped at 80 columns like
+    WriteMFA (``myutils.cpp:2721``)."""
+    with open(path, "w") as f:
+        for k, aln in enumerate(ensemble):
+            name = names[k] if names else f"replicate.{k}"
+            f.write(f"<{name}\n")
+            for ordinal, row in aln:
+                f.write(f">s{ordinal}\n")
+                for i in range(0, len(row), 80):
+                    f.write(row[i : i + 80] + "\n")
+
+
+def read_efa(path: str) -> tuple[list[str], list[list[tuple[int, str]]]]:
+    """Parse an EFA file -> (msa names, alignments). A file not starting
+    with '<' is invalid (``ensemble.cpp:87-88``). Labels of the form
+    ``s<k>`` map back to ordinal k; other labels get their order of
+    appearance."""
+    names: list[str] = []
+    ensemble: list[list[tuple[int, str]]] = []
+    label, parts = None, []
+
+    def flush_seq(aln):
+        nonlocal label, parts
+        if label is not None:
+            ordinal = (
+                int(label[1:]) if label[1:].isdigit() and label[0] == "s" else len(aln)
+            )
+            aln.append((ordinal, "".join(parts)))
+        label, parts = None, []
+
+    with open(path) as f:
+        for raw in f:
+            line = raw.rstrip("\n")
+            if not line:
+                continue
+            if line[0] == "<":
+                if not names and (label is not None or ensemble):
+                    raise ValueError("invalid EFA: must start with '<'")
+                if names:
+                    flush_seq(ensemble[-1])
+                names.append(line[1:])
+                ensemble.append([])
+            elif line[0] == ">":
+                if not names:
+                    raise ValueError("invalid EFA: must start with '<'")
+                flush_seq(ensemble[-1])
+                label = line[1:].split()[0] if len(line) > 1 else ""
+            else:
+                if not names:
+                    raise ValueError("invalid EFA: must start with '<'")
+                parts.append(line)
+    if names:
+        flush_seq(ensemble[-1])
+    if not names:
+        raise ValueError("empty EFA")
+    return names, [sorted(a) for a in ensemble]
 
 
 def _column_sets(alignment: list[tuple[int, str]]):

@@ -120,6 +120,58 @@ def _decode_batch(graph, llrs: np.ndarray, max_iter: int, mode: str | None = Non
     return np.asarray(res.bits)[:K]
 
 
+def anneal_decode(
+    graph: LdpcGraph,
+    soft: np.ndarray,
+    codewords: np.ndarray,
+    config: TrialConfig = TrialConfig(),
+    phase: dict | None = None,
+) -> tuple[np.ndarray, list[int], list[int], int]:
+    """First decoding of all codewords in one batch, then the reference's
+    second-decoding epsilon-annealing loop over failures
+    (``ex_decoder/decoder.py:553-664``): rescale the ORIGINAL soft values
+    to effective eps' = epsil2 - step (zeros stay zero) and re-decode only
+    the still-failing codewords until all succeed or eps bottoms out.
+
+    Returns (decoded bits [K, N], fail_first, fail_final, n_anneal_iters);
+    failure indices are 1-based codeword numbers as the reference reports
+    them."""
+    phase = phase if phase is not None else {}
+
+    t0 = time.time()
+    bp_mode = config.bp_mode if config.bp_mode is not None else _auto_bp_mode(graph)
+    # np.asarray of a JAX array is read-only; the annealing loop writes rows
+    dec = np.array(_decode_batch(graph, soft, config.max_iter, bp_mode))
+    phase["first_decode"] = time.time() - t0
+
+    errs = (dec != codewords).sum(axis=1)
+    fail_first = [int(i) + 1 for i in np.nonzero(errs)[0]]
+
+    t0 = time.time()
+    fail = list(fail_first)
+    n_iters = 0
+    epsil2 = config.epsil - config.anneal_step
+    base_mag = np.log((1 - config.epsil) / config.epsil)
+    while fail and epsil2 > config.anneal_floor:
+        n_iters += 1
+        eps_eff = epsil2 - config.anneal_step
+        scale = np.log((1 - eps_eff) / eps_eff) / base_mag
+        idx = np.array(fail) - 1
+        re_soft = soft[idx] * scale  # zeros stay zero
+        epsil2 -= config.anneal_step
+
+        dec_f = _decode_batch(graph, re_soft, config.max_iter, bp_mode)
+        dec[idx] = dec_f
+        errs_f = (dec_f != codewords[idx]).sum(axis=1)
+        if config.strict_reference_failure_tracking:
+            # literal decoder.py:660-662: only the last failure survives
+            fail = [fail[-1]] if errs_f[-1] != 0 else []
+        else:
+            fail = [int(fail[k]) for k in range(len(fail)) if errs_f[k] != 0]
+    phase["second_decode"] = time.time() - t0
+    return dec, fail_first, fail, n_iters
+
+
 def decode_trial(
     reads: Sequence[str],
     quals: Sequence[str | int],
@@ -173,42 +225,13 @@ def decode_trial(
                 epsil=config.epsil, llr_table=llr_table, n_reads_kept=n_kept
             ).save(checkpoint_path)
 
-    # ---- first decoding: all 272 codewords in one batch --------------------
-    t0 = time.time()
-    bp_mode = config.bp_mode if config.bp_mode is not None else _auto_bp_mode(graph)
-    dec = _decode_batch(graph, soft, config.max_iter, bp_mode)
-    phase["first_decode"] = time.time() - t0
+    dec, fail_first, fail, n_iters = anneal_decode(
+        graph, soft, codewords, config, phase
+    )
 
     hard = (soft < 0).astype(np.uint8)  # LLR >= 0 -> 0 (decoder.py:565-571)
     re_decode = (dec != hard).sum(axis=0)  # [18432] per-strand flip counts
     n_erasure = int((re_decode > ERASURE_THRESHOLD).sum())
-
-    errs = (dec != codewords).sum(axis=1)
-    fail_first = [int(i) + 1 for i in np.nonzero(errs)[0]]
-
-    # ---- second decoding: epsilon annealing --------------------------------
-    t0 = time.time()
-    fail = list(fail_first)
-    n_iters = 0
-    epsil2 = config.epsil - config.anneal_step
-    base_mag = np.log((1 - config.epsil) / config.epsil)
-    while fail and epsil2 > config.anneal_floor:
-        n_iters += 1
-        eps_eff = epsil2 - config.anneal_step
-        scale = np.log((1 - eps_eff) / eps_eff) / base_mag
-        idx = np.array(fail) - 1
-        re_soft = soft[idx] * scale  # zeros stay zero
-        epsil2 -= config.anneal_step
-
-        dec_f = _decode_batch(graph, re_soft, config.max_iter, bp_mode)
-        dec[idx] = dec_f
-        errs_f = (dec_f != codewords[idx]).sum(axis=1)
-        if config.strict_reference_failure_tracking:
-            # literal decoder.py:660-662: only the last failure survives
-            fail = [fail[-1]] if errs_f[-1] != 0 else []
-        else:
-            fail = [int(fail[k]) for k in range(len(fail)) if errs_f[k] != 0]
-    phase["second_decode"] = time.time() - t0
 
     return TrialResult(
         success=not fail,

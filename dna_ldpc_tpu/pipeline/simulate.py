@@ -23,9 +23,19 @@ from ..utils import dna
 
 @dataclass
 class ChannelModel:
+    """Per-base error rates. Defaults are calibrated to the regime the
+    reference pipeline actually tolerates: its LLR rules keep only MSA
+    rows whose aligned width is exactly 136 (decoder.py:209-233), so ANY
+    cluster containing an insertion read (aligned width >= 137) becomes
+    an all-but-bit-271 erasure. The real dataset is deletion-dominant
+    (variable-length reads are the paper's premise); at Illumina-like
+    insertion rates (~1e-5/nt) insertion-erased clusters stay rare enough
+    for BP to absorb. Raising ``insertion`` toward ``deletion`` is a
+    fault-injection knob, not a realistic channel."""
+
     substitution: float = 0.01
-    insertion: float = 0.0005
-    deletion: float = 0.0005
+    insertion: float = 2e-5
+    deletion: float = 5e-4
     # quality chars: high-quality reads get > '?' (63), low-quality < '5' (53)
     q_high: int = 70
     q_low: int = 40

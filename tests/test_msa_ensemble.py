@@ -67,3 +67,63 @@ def test_qscore_self_and_degraded():
     straw = [(i, s + "-" * (width - len(s))) for i, s in enumerate(SEQS)]
     scores = qscore(straw, ref)
     assert scores["Q"] < 1.0
+
+
+def _leaves_of(joins):
+    n = len(joins) + 1
+    used = set()
+    for a, b in joins:
+        used.update((a, b))
+    return {x for x in used if x < n}
+
+
+def test_permute_join_order_small_tree_unchanged():
+    from dna_ldpc_tpu.ops.msa.align import permute_join_order
+
+    joins = [(0, 1), (2, 3), (4, 5), (6, 7)]  # 5 leaves < 10
+    # (not a single tree, but the <10-leaf passthrough fires first)
+    for perm in ("none", "abc", "acb", "bca"):
+        assert permute_join_order(joins, perm) == joins
+
+
+def test_permute_join_order_valid_and_distinct():
+    from dna_ldpc_tpu.ops.msa.align import permute_join_order, upgma_join_order
+
+    rng = np.random.default_rng(5)
+    n = 12
+    d = rng.random((n, n))
+    d = (d + d.T) / 2
+    joins = upgma_join_order(d)
+    results = {}
+    for perm in ("abc", "acb", "bca"):
+        pj = permute_join_order(joins, perm)
+        # structurally valid join order over the same leaves
+        assert len(pj) == n - 1
+        assert _leaves_of(pj) == set(range(n))
+        seen = set(range(n))
+        for k, (a, b) in enumerate(pj):
+            assert a in seen and b in seen and a != b
+            seen.add(n + k)
+        results[perm] = tuple(pj)
+    # the three permutations are not all identical
+    assert len(set(results.values())) > 1
+    with pytest.raises(ValueError):
+        permute_join_order(joins, "xyz")
+
+
+def test_efa_roundtrip(tmp_path):
+    from dna_ldpc_tpu.ops.msa.ensemble import read_efa, write_efa
+
+    ens = ensemble_align(SEQS, replicates=3, mode="stratified", refine_iters=4)
+    p = tmp_path / "ens.efa"
+    write_efa(str(p), ens, names=["a", "b", "c"])
+    text = p.read_text()
+    assert text.startswith("<a\n")
+    names, back = read_efa(str(p))
+    assert names == ["a", "b", "c"]
+    assert back == [sorted(a) for a in ens]
+
+    bad = tmp_path / "bad.efa"
+    bad.write_text(">s0\nACGT\n")
+    with pytest.raises(ValueError):
+        read_efa(str(bad))
