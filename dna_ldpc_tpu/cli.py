@@ -21,6 +21,8 @@ import sys
 
 import numpy as np
 
+from .pipeline.simulate import ChannelModel
+
 
 def _load_codewords(codeword_dir: str) -> np.ndarray:
     from .utils.io_formats import read_vector
@@ -109,9 +111,13 @@ def build_parser() -> argparse.ArgumentParser:
 
     s = sub.add_parser("simulate", parents=[common], help="simulate + decode trials")
     s.add_argument("--oligos", required=True, help="encoded oligo pool (final_DNA.txt)")
-    s.add_argument("--sub-rate", type=float, default=0.01)
-    s.add_argument("--ins-rate", type=float, default=0.0)
-    s.add_argument("--del-rate", type=float, default=0.0)
+    # defaults = the calibrated ChannelModel rates, so the default invocation
+    # exercises the edit-filter / MSA / bit-271 path (variable-length reads
+    # are the reference regime; VERDICT r2 item 5)
+    _ch = ChannelModel()
+    s.add_argument("--sub-rate", type=float, default=_ch.substitution)
+    s.add_argument("--ins-rate", type=float, default=_ch.insertion)
+    s.add_argument("--del-rate", type=float, default=_ch.deletion)
     s.add_argument("--seed", type=int, default=0)
     s.set_defaults(fn=cmd_simulate)
 

@@ -236,7 +236,7 @@ def bp_decode_blocked(
       forward/backward exclusive products, on-the-fly one-hot routing,
       and per-chunk early stopping on-core. The fastest mode under the
       reference's real semantics (max_iter=200 + syndrome early stop):
-      ~11,300 codewords/s on trial-like workloads, ~4x the XLA modes.
+      >12,000 codewords/s on trial-like workloads, ~4x the XLA modes.
       Requires q % 128 == 0 on hardware (deployed code: q=256).
 
     LLRs must be finite; non-finite inputs are sanitized (NaN -> tiny

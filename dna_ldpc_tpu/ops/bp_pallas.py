@@ -29,7 +29,7 @@ update, syndrome) into a single Pallas program in which
 Decision/latching semantics match ``bp_decode`` exactly; numerically the
 kernel is the "bf16" throughput mode (bf16 message storage, f32 check
 math and posterior accumulation), validated by FER parity on trial-like
-workloads (tests/test_bp_pallas.py) like the XLA bf16 mode.
+workloads (tests/test_trace_pallas.py) like the XLA bf16 mode.
 
 Reference anchors: flooding schedule ``dec.cpp:583-605``; check update
 ``dec.cpp:646-662``; variable update/decision ``dec.cpp:667-693``;

@@ -58,9 +58,7 @@ def _min_sum_jit(graph: LdpcGraph, max_iter: int, offset: float, normalize: floa
         # exclusive min via two smallest magnitudes
         min1 = jnp.min(mag, axis=-1, keepdims=True)
         arg1 = jnp.argmin(mag, axis=-1)
-        mag2 = mag.at if False else jnp.where(
-            jax.nn.one_hot(arg1, dc, dtype=bool), jnp.inf, mag
-        )
+        mag2 = jnp.where(jax.nn.one_hot(arg1, dc, dtype=bool), jnp.inf, mag)
         min2 = jnp.min(mag2, axis=-1, keepdims=True)
         is_min = jax.nn.one_hot(arg1, dc, dtype=bool)
         excl_min = jnp.where(is_min, min2, min1)

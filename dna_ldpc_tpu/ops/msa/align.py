@@ -346,6 +346,7 @@ def align(
     pair_posts: list[np.ndarray] | None = None,
     hmm_params=None,
     tree_perm: str = "none",
+    pair_dists: np.ndarray | None = None,
 ) -> list[tuple[int, str]]:
     """Align sequences; returns [(input ordinal, aligned row)] in input
     order. Single sequence passes through unchanged.
@@ -354,6 +355,10 @@ def align(
     cluster_pairs(n) order (the cross-cluster batched path of
     align_clusters); otherwise they are computed here. ``hmm_params``
     optionally overrides the pair-HMM tables (ensemble replicates).
+    ``pair_dists`` optionally supplies the [n, n] EA distance matrix —
+    required when ``pair_posts`` already had the consistency transform
+    applied (EA distances come from the PRE-consistency posteriors,
+    mpcflat.cpp CalcPosteriors -> m_DistMx).
     """
     n = len(seqs)
     if n == 0:
@@ -373,8 +378,11 @@ def align(
     for p, (i, j) in enumerate(pairs):
         post = pair_posts[p]
         posts[(i, j)] = post
-        ea = mea_score(post) / min(len(seqs[i]), len(seqs[j]))
-        dist[i, j] = dist[j, i] = 1.0 - min(max(ea, 0.0), 1.0)  # FixEADistMx
+        if pair_dists is None:
+            ea = mea_score(post) / min(len(seqs[i]), len(seqs[j]))
+            dist[i, j] = dist[j, i] = 1.0 - min(max(ea, 0.0), 1.0)  # FixEADistMx
+    if pair_dists is not None:
+        dist = pair_dists
 
     # 2. consistency transform (skip for < 3 seqs, mpcflat.cpp:185-193)
     if n >= 3:
@@ -460,14 +468,20 @@ def align_clusters(
     seed: int = 0,
     pair_chunk: int = 2048,
 ) -> list[list[tuple[int, str]]]:
-    """Align many clusters with the pair-HMM batched ACROSS clusters.
+    """Align many clusters with the device stages batched ACROSS clusters.
 
     All C(k,2) pairs of every cluster are concatenated and swept through
-    the antidiagonal DP in large fixed-size batches (one device dispatch
-    per chunk instead of two per cluster); the per-cluster consistency /
-    tree / progressive / refine stages then run on host with the
-    precomputed posteriors. Results are identical to per-cluster align().
+    the antidiagonal pair-HMM DP in large fixed-size batches (one device
+    dispatch per chunk instead of two per cluster); the consistency
+    transform then runs as batched block matmuls over every cluster at
+    once (ops/msa/consistency.py, replacing the per-pair host loop); the
+    per-cluster tree / progressive / refine stages run on host with the
+    precomputed posteriors. EA distances are computed from the
+    PRE-consistency posteriors exactly as align() does (mpcflat.cpp
+    CalcPosteriors -> m_DistMx). Results match per-cluster align().
     """
+    from .consistency import consistency_clusters
+
     all_x: list[str] = []
     all_y: list[str] = []
     spans: list[tuple[int, int]] = []
@@ -480,19 +494,44 @@ def align_clusters(
 
     posts_flat: list[np.ndarray] = []
     for lo in range(0, len(all_x), pair_chunk):
-        posts_flat.extend(
-            batch_posteriors(all_x[lo : lo + pair_chunk], all_y[lo : lo + pair_chunk])
+        cx, cy = all_x[lo : lo + pair_chunk], all_y[lo : lo + pair_chunk]
+        # pad partial chunks up to pair_chunk with empty pairs so every
+        # chunk reuses one compiled DP executable (shape-stable batching)
+        npad = 0
+        if len(cx) < pair_chunk and lo > 0:
+            npad = pair_chunk - len(cx)
+            cx = cx + [""] * npad
+            cy = cy + [""] * npad
+        res = batch_posteriors(cx, cy)
+        posts_flat.extend(res[: len(res) - npad] if npad else res)
+
+    # EA distances from the raw posteriors (before consistency)
+    dists: list[np.ndarray] = []
+    for seqs, (lo, hi) in zip(clusters, spans):
+        n = len(seqs)
+        dist = np.zeros((n, n), dtype=np.float64)
+        for p, (i, j) in enumerate(cluster_pairs(n)):
+            ea = mea_score(posts_flat[lo + p]) / min(len(seqs[i]), len(seqs[j]))
+            dist[i, j] = dist[j, i] = 1.0 - min(max(ea, 0.0), 1.0)
+        dists.append(dist)
+
+    if consistency_iters:
+        transformed = consistency_clusters(
+            [posts_flat[lo:hi] for lo, hi in spans], iters=consistency_iters
         )
+    else:
+        transformed = [posts_flat[lo:hi] for lo, hi in spans]
 
     out = []
-    for seqs, (lo, hi) in zip(clusters, spans):
+    for seqs, posts, dist in zip(clusters, transformed, dists):
         out.append(
             align(
                 seqs,
                 refine_iters=refine_iters,
-                consistency_iters=consistency_iters,
+                consistency_iters=0,   # already applied, batched
                 seed=seed,
-                pair_posts=posts_flat[lo:hi],
+                pair_posts=posts,
+                pair_dists=dist,
             )
         )
     return out

@@ -300,10 +300,14 @@ def _encode_batch(seqs_x, seqs_y, Lmax):
         Lmax = int(max(lx.max(initial=1), ly.max(initial=1)))
         Lmax = max(32, ((Lmax + 31) // 32) * 32)
     Pb = 1 << (P - 1).bit_length() if P > 1 else 1
-    X = np.full((Pb, Lmax), 4, np.int8)
-    Y = np.full((Pb, Lmax), 4, np.int8)
-    Xr = np.full((Pb, Lmax), 4, np.int8)
-    Yr = np.full((Pb, Lmax), 4, np.int8)
+    # int32, NOT int8: XLA:TPU compiles gathers from sub-word integer
+    # arrays pathologically slowly (observed 300+ s for a single
+    # jnp.take on an int8 operand vs 0.5 s on int32); the sequence
+    # tensors are tiny, so the wide dtype costs nothing
+    X = np.full((Pb, Lmax), 4, np.int32)
+    Y = np.full((Pb, Lmax), 4, np.int32)
+    Xr = np.full((Pb, Lmax), 4, np.int32)
+    Yr = np.full((Pb, Lmax), 4, np.int32)
     for p in range(P):
         ex, ey = encode_seq(seqs_x[p]), encode_seq(seqs_y[p])
         X[p, : lx[p]] = ex

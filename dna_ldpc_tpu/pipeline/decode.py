@@ -126,6 +126,8 @@ def anneal_decode(
     codewords: np.ndarray,
     config: TrialConfig = TrialConfig(),
     phase: dict | None = None,
+    resume: tuple[np.ndarray, list[int], list[int], int] | None = None,
+    save_cb=None,
 ) -> tuple[np.ndarray, list[int], list[int], int]:
     """First decoding of all codewords in one batch, then the reference's
     second-decoding epsilon-annealing loop over failures
@@ -135,22 +137,37 @@ def anneal_decode(
 
     Returns (decoded bits [K, N], fail_first, fail_final, n_anneal_iters);
     failure indices are 1-based codeword numbers as the reference reports
-    them."""
+    them.
+
+    ``resume`` = (decoded bits, fail_first, fail_current, n_anneal_iters)
+    from a checkpoint: skips the first decode and restarts the annealing
+    loop at the epsilon it had reached. ``save_cb(dec, fail_first, fail,
+    n_iters)``, when given, is invoked after the first decode and after
+    every annealing round (decoder-progress checkpointing)."""
     phase = phase if phase is not None else {}
 
-    t0 = time.time()
     bp_mode = config.bp_mode if config.bp_mode is not None else _auto_bp_mode(graph)
-    # np.asarray of a JAX array is read-only; the annealing loop writes rows
-    dec = np.array(_decode_batch(graph, soft, config.max_iter, bp_mode))
-    phase["first_decode"] = time.time() - t0
+    if resume is not None:
+        dec, fail_first, fail, n_iters = resume
+        dec = np.array(dec)
+        fail = list(fail)
+        fail_first = list(fail_first)
+        phase["first_decode"] = 0.0
+    else:
+        t0 = time.time()
+        # np.asarray of a JAX array is read-only; the annealing loop writes rows
+        dec = np.array(_decode_batch(graph, soft, config.max_iter, bp_mode))
+        phase["first_decode"] = time.time() - t0
 
-    errs = (dec != codewords).sum(axis=1)
-    fail_first = [int(i) + 1 for i in np.nonzero(errs)[0]]
+        errs = (dec != codewords).sum(axis=1)
+        fail_first = [int(i) + 1 for i in np.nonzero(errs)[0]]
+        fail = list(fail_first)
+        n_iters = 0
+        if save_cb is not None:
+            save_cb(dec, fail_first, fail, n_iters)
 
     t0 = time.time()
-    fail = list(fail_first)
-    n_iters = 0
-    epsil2 = config.epsil - config.anneal_step
+    epsil2 = config.epsil - config.anneal_step * (n_iters + 1)
     base_mag = np.log((1 - config.epsil) / config.epsil)
     while fail and epsil2 > config.anneal_floor:
         n_iters += 1
@@ -168,6 +185,8 @@ def anneal_decode(
             fail = [fail[-1]] if errs_f[-1] != 0 else []
         else:
             fail = [int(fail[k]) for k in range(len(fail)) if errs_f[k] != 0]
+        if save_cb is not None:
+            save_cb(dec, fail_first, fail, n_iters)
     phase["second_decode"] = time.time() - t0
     return dec, fail_first, fail, n_iters
 
@@ -187,8 +206,12 @@ def decode_trial(
 
     ``checkpoint_path``: optional npz path; if it holds a checkpoint for
     the same epsilon, the ingest (RS + clustering + MSA + counting) stage
-    is skipped and decoding resumes from the stored LLR table. The
-    checkpoint is (re)written after ingest."""
+    is skipped and decoding resumes from the stored LLR table — and, when
+    the checkpoint also carries decoder progress (decoded bits + current
+    failure set), the first decode is skipped and the annealing loop
+    restarts at the epsilon it had reached. The checkpoint is written
+    after ingest and updated after the first decode and after every
+    annealing round."""
     t_start = time.time()
     graph = graph or deployed_graph()
     # aligner=None routes mixed clusters through the cross-cluster batched
@@ -219,14 +242,34 @@ def decode_trial(
         soft = llr_table.T.copy()  # [272, 18432] per-codeword soft inputs
         phase["llr"] = time.time() - t0
         if checkpoint_path:
-            from .checkpoint import TrialCheckpoint
-
             TrialCheckpoint(
                 epsil=config.epsil, llr_table=llr_table, n_reads_kept=n_kept
             ).save(checkpoint_path)
 
+    resume = None
+    if ckpt is not None and ckpt.decoded_bits is not None and ckpt.fail_current is not None:
+        resume = (
+            ckpt.decoded_bits,
+            [int(i) for i in (ckpt.fail_first if ckpt.fail_first is not None else [])],
+            [int(i) for i in ckpt.fail_current],
+            ckpt.anneal_iters,
+        )
+
+    save_cb = None
+    if checkpoint_path:
+        def save_cb(dec_now, ff, fc, iters):
+            TrialCheckpoint(
+                epsil=config.epsil,
+                llr_table=llr_table,
+                decoded_bits=np.asarray(dec_now, np.uint8),
+                fail_first=np.asarray(ff, np.int64),
+                fail_current=np.asarray(fc, np.int64),
+                anneal_iters=iters,
+                n_reads_kept=n_kept,
+            ).save(checkpoint_path)
+
     dec, fail_first, fail, n_iters = anneal_decode(
-        graph, soft, codewords, config, phase
+        graph, soft, codewords, config, phase, resume=resume, save_cb=save_cb
     )
 
     hard = (soft < 0).astype(np.uint8)  # LLR >= 0 -> 0 (decoder.py:565-571)

@@ -54,39 +54,54 @@ def simulate_reads(
     seed: int = 0,
 ) -> tuple[list[str], list[str]]:
     """Sample n_reads uniformly from the oligo pool through the noisy
-    channel. Returns (reads, quality_chars)."""
+    channel. Returns (reads, quality_chars).
+
+    Vectorized over the whole batch: substitutions are applied as one
+    masked matrix update; only reads that actually draw an indel (a few
+    percent at the calibrated rates) take a per-read slow path."""
     rng = np.random.default_rng(seed)
     picks = rng.integers(0, len(oligos), size=n_reads)
     bases = np.frombuffer(b"ACGT", dtype=np.uint8)
 
-    reads: list[str] = []
-    quals: list[str] = []
-    for p in picks:
-        seq = dna.seq_to_bytes(oligos[p]).copy()
-        L = len(seq)
-        # substitutions: replace with one of the three other bases
-        sub_mask = rng.random(L) < channel.substitution
-        if sub_mask.any():
-            idx = np.nonzero(sub_mask)[0]
-            offs = rng.integers(1, 4, size=len(idx))
-            cur = dna.dna_to_symbols(seq[idx])
-            seq[idx] = bases[(cur + offs) % 4]
-        # deletions
-        del_mask = rng.random(L) < channel.deletion
-        if del_mask.any():
-            seq = seq[~del_mask]
-        # insertions (insert a random base before position)
-        ins_mask = rng.random(len(seq) + 1) < channel.insertion
-        if ins_mask.any():
-            out = []
-            for i, b in enumerate(seq):
-                if ins_mask[i]:
-                    out.append(bases[rng.integers(0, 4)])
-                out.append(b)
-            if ins_mask[len(seq)]:
-                out.append(bases[rng.integers(0, 4)])
-            seq = np.array(out, dtype=np.uint8)
-        reads.append(seq.tobytes().decode("ascii"))
-        q = channel.q_low if rng.random() < channel.p_low_quality else channel.q_high
-        quals.append(chr(q))
+    pool = dna.seqs_to_matrix(oligos)          # [n_oligos, L] uint8
+    L = pool.shape[1]
+    seqs = pool[picks].copy()                  # [n_reads, L]
+
+    # substitutions: replace with one of the three other bases
+    sub_mask = rng.random(seqs.shape) < channel.substitution
+    if sub_mask.any():
+        r, c = np.nonzero(sub_mask)
+        offs = rng.integers(1, 4, size=len(r))
+        cur = dna.dna_to_symbols(seqs[r, c])
+        seqs[r, c] = bases[(cur + offs) % 4]
+
+    del_mask = rng.random(seqs.shape) < channel.deletion
+    # one insertion slot before each base plus one at the end
+    ins_mask = rng.random((n_reads, L + 1)) < channel.insertion
+    ins_base = bases[rng.integers(0, 4, size=(n_reads, L + 1))]
+    has_indel = del_mask.any(axis=1) | ins_mask.any(axis=1)
+
+    reads: list[str] = [""] * n_reads
+    clean = np.nonzero(~has_indel)[0]
+    for i in clean:
+        reads[i] = seqs[i].tobytes().decode("ascii")
+    for i in np.nonzero(has_indel)[0]:
+        seq = seqs[i][~del_mask[i]]
+        im = ins_mask[i][np.concatenate([~del_mask[i], [True]])]
+        if im.any():
+            ib = ins_base[i][np.concatenate([~del_mask[i], [True]])]
+            out = np.empty(len(seq) + int(im.sum()), np.uint8)
+            # positions shift right by the number of insertions at or
+            # before each slot
+            shift = np.cumsum(im)
+            out[np.nonzero(im)[0] + shift[im] - 1] = ib[im]
+            pos = np.arange(len(seq)) + shift[:-1][np.arange(len(seq))]
+            out[pos] = seq
+            seq = out
+        reads[i] = seq.tobytes().decode("ascii")
+
+    qv = np.where(
+        rng.random(n_reads) < channel.p_low_quality, channel.q_low, channel.q_high
+    ).astype(np.uint8)
+    quals = [chr(q) for q in qv]
     return reads, quals

@@ -150,3 +150,28 @@ def test_sparse_transport_matches_dense():
         assert d.shape == s.shape
         np.testing.assert_array_equal(d > 0, s > 0)
         np.testing.assert_allclose(s, d, rtol=8e-3, atol=1e-6)
+
+
+def test_align_clusters_matches_per_cluster_align():
+    """The cross-cluster batched path (pair-HMM chunks + device-batched
+    consistency transform, ops/msa/consistency.py) must reproduce
+    per-cluster align() exactly, including the n >= 3 consistency and
+    refinement stages (consflat.cpp semantics)."""
+    from dna_ldpc_tpu.ops.msa.align import align, align_clusters
+
+    rng = np.random.default_rng(5)
+
+    def noisy(s, ndel):
+        b = list(s)
+        for _ in range(ndel):
+            del b[rng.integers(0, len(b))]
+        return "".join(b)
+
+    clusters = []
+    for n in (2, 3, 4, 5, 3):
+        s = "".join("ACGT"[i] for i in rng.integers(0, 4, 136))
+        clusters.append([s] + [noisy(s, rng.integers(1, 3)) for _ in range(n - 1)])
+
+    batched = align_clusters(clusters)
+    single = [align(cl) for cl in clusters]
+    assert batched == single
