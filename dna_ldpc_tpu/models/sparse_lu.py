@@ -160,8 +160,64 @@ def dense_encode(H: SparseBinaryMatrix, messages: np.ndarray) -> np.ndarray:
     return gen.encode(np.atleast_2d(np.asarray(messages, np.uint8)))
 
 
+def _gf2_matmul_packed(X: np.ndarray, Yt_packed: np.ndarray) -> np.ndarray:
+    """(X @ Y) mod 2 for uint8 X [batch, m] against packed rows of Y^T
+    ([cols(Y), words]): parity of popcount(x & y_col) per output bit."""
+    Xp = pack_rows(X)
+    ands = Yt_packed[None, :, :] & Xp[:, None, :]
+    cnt = np.zeros(ands.shape[:2], np.uint64)
+    x = ands.copy()
+    while x.any():
+        cnt += (x & np.uint64(1)).sum(axis=2, dtype=np.uint64)
+        x >>= np.uint64(1)
+    return (cnt & np.uint64(1)).astype(np.uint8)
+
+
+def _mixed_maps(lu: SparseLU) -> tuple[np.ndarray, np.ndarray]:
+    """Dense Inv(A)-style maps for the mixed strategy, built once by
+    running the recorded sparse solves on the identity RHS.
+
+    Returns (solve_map_packed [rank, words(m)] — row r holds the GF(2)
+    inner-product mask giving parity bit r from an RHS b over H's m rows —
+    and residual_map_packed [m-rank, words(m)], the dependent-row
+    consistency conditions; both are cached on the LU object)."""
+    cached = getattr(lu, "_mixed_maps", None)
+    if cached is not None:
+        return cached
+    m = lu.B_packed.shape[0]
+    y = np.eye(m, dtype=np.uint8)  # row i = Op(e_i), built by replay
+    for kind, a, s in lu.l_ops:
+        if kind == 0:
+            y[:, [a, s]] = y[:, [s, a]]
+        else:
+            y[:, a] ^= y[:, s]
+    # back substitution on the unit-diagonal U, columns restricted to y
+    p = np.zeros((m, lu.rank), np.uint8)
+    for i in range(lu.rank - 1, -1, -1):
+        acc = y[:, i].copy()
+        later = lu.u_rows[i]
+        if len(later):
+            acc ^= p[:, later].sum(axis=1).astype(np.uint8) & 1
+        p[:, i] = acc & 1
+    solve_packed = pack_rows(p.T)                       # [rank, words(m)]
+    residual_packed = pack_rows(y[:, lu.rank :].T)      # [m-rank, words(m)]
+    maps = (solve_packed, residual_packed)
+    object.__setattr__(lu, "_mixed_maps", maps)
+    return maps
+
+
 def mixed_encode(lu: SparseLU, messages: np.ndarray) -> np.ndarray:
-    """Dense RHS + sparse solves: same result as sparse_encode (the RHS
-    here is already a packed matmul, so the strategies coincide on the
-    solve path; kept as a distinct entry point mirroring enc.h)."""
-    return sparse_encode(lu, messages)
+    """The reference's mixed strategy (enc.cpp:118-160): sparse
+    right-hand side x = B s, then one DENSE multiply by Inv(A) — here a
+    packed GF(2) matmul against the precomputed inverse maps — instead of
+    the sparse triangular solves. Bit-identical to sparse_encode."""
+    messages = np.atleast_2d(np.asarray(messages, np.uint8))
+    b = _rhs(lu, messages)  # [batch, m]
+    solve_packed, residual_packed = _mixed_maps(lu)
+    if residual_packed.shape[0] and _gf2_matmul_packed(b, residual_packed).any():
+        raise ValueError("message not encodable: dependent checks inconsistent")
+    p = _gf2_matmul_packed(b, solve_packed)  # [batch, rank]
+    out = np.zeros((messages.shape[0], lu.n), np.uint8)
+    out[:, lu.info_cols] = messages
+    out[:, lu.pivot_cols] = p
+    return out

@@ -131,6 +131,48 @@ def quantize_llr(llr: jax.Array, precision: int, step: float) -> jax.Array:
     return jnp.clip(q, -lim, lim)
 
 
+def quantize_llr_quasi_uniform(
+    llr: jax.Array,
+    precision: int,
+    step: float,
+    uniform_levels: int | None = None,
+    growth: float = 2.0,
+) -> jax.Array:
+    """Quasi-uniform LLR quantizer: uniform spacing ``step`` for the
+    inner ``uniform_levels`` levels (default: half the level range),
+    geometrically growing decision thresholds (factor ``growth``) for the
+    outer levels — the standard low-error-floor companion quantizer to
+    quantized min-sum (Zhang & Siegel-style).
+
+    NOTE on reference parity: the reference's DECODER_MSA_QUASI_UNIFORM
+    dispatches to ``Cal_MSA_Q(x, 1)`` whose quasi-uniform branch is an
+    EMPTY stub (dec.cpp:1737-1740) — it returns 0 for every input, i.e.
+    the shipped quasi-uniform decoder quantizes the whole channel to
+    erasures. This implementation provides the real scheme the enum
+    advertises; pass ``growth=None`` via quantize_llr_reference_stub for
+    the literal shipped behavior."""
+    lim = (1 << (precision - 1)) - 1
+    nu = uniform_levels if uniform_levels is not None else max(1, lim // 2)
+    nu = min(nu, lim)
+    # decision thresholds t_k, k = 1..lim: level k chosen when |x| >= t_k
+    t = np.empty(lim, np.float64)
+    for k in range(1, nu + 1):
+        t[k - 1] = (k - 0.5) * step          # reference uniform rounding
+    for k in range(nu + 1, lim + 1):
+        t[k - 1] = t[nu - 1] * growth ** (k - nu)
+    x = jnp.asarray(llr)
+    mag = jnp.abs(x)
+    k = jnp.sum(mag[..., None] >= jnp.asarray(t, x.dtype), axis=-1)
+    return jnp.sign(x) * k.astype(x.dtype)
+
+
+def quantize_llr_reference_stub(llr: jax.Array) -> jax.Array:
+    """The literal behavior of the reference's quasi-uniform branch
+    (``Cal_MSA_Q(x, 1)``, dec.cpp:1737-1740): an unimplemented stub that
+    maps every LLR to level 0. Kept for strict parity experiments."""
+    return jnp.zeros_like(jnp.asarray(llr))
+
+
 def quantized_min_sum_decode(
     graph: LdpcGraph,
     llr: jax.Array,
@@ -139,14 +181,27 @@ def quantized_min_sum_decode(
     max_iter: int = 200,
     offset: float = 0.0,
     tie_seed: int = 0,
+    quantizer: str = "uniform",
 ) -> BpResult:
     """Quantized offset min-sum (Run_MSA_Decoder, dec.cpp:1174-1436):
     channel LLRs quantized to ``precision``-bit integer levels with step
     size ``step``; the integer offset ``offset`` is subtracted in the
     check update (offset_beta). Message arithmetic runs on the integer
-    levels (carried in f32 lanes — exact for these magnitudes)."""
+    levels (carried in f32 lanes — exact for these magnitudes).
+
+    ``quantizer``: "uniform" (Cal_MSA_Q type 0), "quasi-uniform" (real
+    scheme; see quantize_llr_quasi_uniform — the reference's enum-22
+    branch is an empty stub), or "reference-quasi-stub" (the literal
+    all-zeros shipped behavior)."""
     llr = jnp.atleast_2d(jnp.asarray(llr, jnp.float32))
-    q = quantize_llr(llr, precision, step)
+    if quantizer == "uniform":
+        q = quantize_llr(llr, precision, step)
+    elif quantizer == "quasi-uniform":
+        q = quantize_llr_quasi_uniform(llr, precision, step)
+    elif quantizer == "reference-quasi-stub":
+        q = quantize_llr_reference_stub(llr)
+    else:
+        raise ValueError(f"unknown quantizer {quantizer!r}")
     key = jax.random.PRNGKey(tie_seed)
     tie_bits = jax.random.bernoulli(key, 0.5, q.shape).astype(jnp.uint8)
     return _min_sum_jit(graph, max_iter, float(offset), 1.0)(q, tie_bits)

@@ -9,9 +9,9 @@ OpenMP loop over pairs of sparse matrix triple-products
 
 restricted to P_XY's existing support (MySparseMx::UpdateFromPost).
 
-Here the transform is ONE batched einsum per cluster-size group: clusters
-of the same sequence count n are stacked into a block tensor
-A[c, i, j, a, b] (A[c,i,i] = 0, A[c,j,i] = A[c,i,j]^T), for which
+Here the transform is a batched einsum: clusters are stacked into a
+block tensor A[c, i, j, a, b] (A[c,i,i] = 0, A[c,j,i] = A[c,i,j]^T), for
+which
 
     sum_z A[i,z] @ A[z,j]  ==  the reference's sum over Z != X,Y
 
@@ -19,6 +19,13 @@ because the diagonal blocks are zero — so both iterations are plain
 [n*L, n*L] block matmuls, an MXU-shaped operation, batched over every
 cluster of a trial at once instead of a Python dict-loop per pair
 (the round-2 bottleneck at align.py:379-396).
+
+Compile economy: compiles through the remote TPU service cost far more
+than padded FLOPs, so cluster sizes are BUCKETED to n in {3, 4, 6, 8}
+(zero member blocks are inert in the block matmul; the divide-by-n uses
+the true per-cluster n) and the cluster axis is padded to a fixed chunk —
+at most four compiled programs regardless of the trial's cluster mix.
+Sizes above 8 and tiny groups fall back to an identical host loop.
 
 Results return to host via the same lossless top-k sparse transport as
 the pair-HMM posteriors (support after masking is bounded by the
@@ -35,11 +42,14 @@ import numpy as np
 
 from .pairhmm import MIN_SPARSE_PROB
 
+N_BUCKETS = (3, 4, 6, 8)
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
-def _consistency_device(pair_mats, n, iters):
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _consistency_device(pair_mats, inv_n, n, iters):
     """pair_mats: [C, n*(n-1)/2, L, L] stacked i<j pair posteriors (zero
-    padded). Returns the transformed pairs in the same layout."""
+    padded; n is the BUCKET size). inv_n: [C] per-cluster 1/n_true.
+    Returns the transformed pairs in the same layout."""
     C, npair, L, _ = pair_mats.shape
     ii, jj = np.triu_indices(n, k=1)
 
@@ -47,6 +57,7 @@ def _consistency_device(pair_mats, n, iters):
     A = jnp.zeros((C, n, n, L, L), pair_mats.dtype)
     A = A.at[:, ii, jj].set(pair_mats)
     A = A.at[:, jj, ii].set(jnp.swapaxes(pair_mats, -1, -2))
+    scale = inv_n[:, None, None, None, None]
 
     for _ in range(iters):
         # sum_z A[i,z] @ A[z,j]; the z == i and z == j terms vanish
@@ -54,18 +65,18 @@ def _consistency_device(pair_mats, n, iters):
         S = jnp.einsum(
             "cizab,czjbd->cijad", A, A, preferred_element_type=jnp.float32
         )
-        A = jnp.where(A < MIN_SPARSE_PROB, 0.0, (2.0 * A + S) / n)
+        A = jnp.where(A < MIN_SPARSE_PROB, 0.0, (2.0 * A + S) * scale)
 
     return A[:, ii, jj]
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3))
-def _consistency_device_sparse(pair_mats, n, iters, top_k):
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _consistency_device_sparse(pair_mats, inv_n, n, iters, top_k):
     """Consistency + on-device top-k row sparsification (f32 values —
     full precision, unlike the raw-posterior transport's bf16, so the
     batched path matches align()'s host loop bit-for-bit — with 1-based
     uint8 column indices, 0 = pruned)."""
-    out = _consistency_device(pair_mats, n, iters)
+    out = _consistency_device(pair_mats, inv_n, n, iters)
     vals, idx = jax.lax.top_k(out, top_k)
     keep = vals > 0.0
     vals = jnp.where(keep, vals, 0.0)
@@ -73,11 +84,34 @@ def _consistency_device_sparse(pair_mats, n, iters, top_k):
     return vals, idx1
 
 
+def _consistency_host(posts: list[np.ndarray], n: int, iters: int) -> list[np.ndarray]:
+    """Host-numpy consistency for one cluster (align()'s reference loop);
+    used for cluster sizes where a device compile isn't worth it."""
+    pairs = [(i, j) for i in range(n) for j in range(i + 1, n)]
+    d = {(i, j): p for (i, j), p in zip(pairs, posts)}
+    for _ in range(iters):
+        new = {}
+        for (i, j), Pij in d.items():
+            acc = 2.0 * Pij
+            for z in range(n):
+                if z == i or z == j:
+                    continue
+                Piz = d[(i, z)] if i < z else d[(z, i)].T
+                Pzj = d[(z, j)] if z < j else d[(j, z)].T
+                acc = acc + Piz @ Pzj
+            upd = acc / n
+            upd[Pij < MIN_SPARSE_PROB] = 0.0
+            new[(i, j)] = upd
+        d = new
+    return [d[p] for p in pairs]
+
+
 def consistency_clusters(
     cluster_posts: list[list[np.ndarray]],
     iters: int = 2,
     chunk_elems: int = 1 << 26,
     top_k: int = 8,
+    min_device_clusters: int = 4,
 ) -> list[list[np.ndarray]]:
     """Apply ``iters`` consistency iterations to every cluster's pair
     posteriors on device.
@@ -85,61 +119,89 @@ def consistency_clusters(
     ``cluster_posts[c]`` holds cluster c's C(n_c, 2) posteriors in
     cluster_pairs order, with per-pair shapes [len_i, len_j]. Clusters
     with fewer than 3 sequences pass through unchanged (mpcflat.cpp:185).
-    Clusters are grouped by n and padded to a shared L per group;
     ``chunk_elems`` bounds each device tensor's element count.
     """
     out: list[list[np.ndarray] | None] = [None] * len(cluster_posts)
 
-    groups: dict[int, list[int]] = {}
+    groups: dict[int, list[tuple[int, int]]] = {}  # bucket -> [(c, n_true)]
+    host_jobs: list[tuple[int, int]] = []
     for c, posts in enumerate(cluster_posts):
         npair = len(posts)
         if npair < 3:  # n < 3: consistency skipped
             out[c] = posts
             continue
         n = int(round((1 + np.sqrt(1 + 8 * npair)) / 2))
-        groups.setdefault(n, []).append(c)
+        nb = next((b for b in N_BUCKETS if b >= n), None)
+        if nb is None:
+            host_jobs.append((c, n))
+        else:
+            groups.setdefault(nb, []).append((c, n))
 
-    for n, members in groups.items():
-        npair = n * (n - 1) // 2
-        L = max(max(max(p.shape) for p in cluster_posts[c]) for c in members)
-        L = max(32, -(-L // 32) * 32)
+    # one shared L bucket for every group (stable compile keys): the
+    # trial's reads are all ~136 nt, so this is 160 in practice
+    L_all = 1
+    for posts in cluster_posts:
+        for p in posts:
+            L_all = max(L_all, p.shape[0], p.shape[1])
+    L = max(32, -(-L_all // 32) * 32)
+
+    for nb, members in sorted(groups.items()):
+        if len(members) < min_device_clusters:
+            host_jobs.extend(members)
+            continue
+        npair_b = nb * (nb - 1) // 2
+        ii_b, jj_b = np.triu_indices(nb, k=1)
+        slot_of = {(int(a), int(b)): s for s, (a, b) in enumerate(zip(ii_b, jj_b))}
         # output support is bounded by the input support per row
         # (UpdateFromPost masking), so top-(max input row support) keeps
         # the sparse transport lossless
         max_sup = max(
-            (int((mat > 0).sum(axis=1).max(initial=0)) for c in members
+            (int((mat > 0).sum(axis=1).max(initial=0)) for c, _ in members
              for mat in cluster_posts[c]),
             default=0,
         )
         k = min(L, max(top_k, max_sup))
         use_sparse = L <= 255
-        chunk = max(1, chunk_elems // (npair * L * L))
+        chunk = max(1, chunk_elems // (npair_b * L * L))
         for lo in range(0, len(members), chunk):
             batch = members[lo : lo + chunk]
-            C = len(batch)
-            stacked = np.zeros((C, npair, L, L), np.float32)
-            for bi, c in enumerate(batch):
-                for p, mat in enumerate(cluster_posts[c]):
-                    stacked[bi, p, : mat.shape[0], : mat.shape[1]] = mat
+            # pad the cluster axis to the full chunk: exactly ONE compiled
+            # einsum per bucket — compiles through the remote TPU service
+            # are far more expensive than the wasted FLOPs on pad clusters
+            stacked = np.zeros((chunk, npair_b, L, L), np.float32)
+            inv_n = np.ones(chunk, np.float32)
+            for bi, (c, n) in enumerate(batch):
+                inv_n[bi] = 1.0 / n
+                pairs = [(i, j) for i in range(n) for j in range(i + 1, n)]
+                for (i, j), mat in zip(pairs, cluster_posts[c]):
+                    stacked[bi, slot_of[(i, j)], : mat.shape[0], : mat.shape[1]] = mat
             if use_sparse:
                 vals, idx = _consistency_device_sparse(
-                    jnp.asarray(stacked), n, iters, k
+                    jnp.asarray(stacked), jnp.asarray(inv_n), nb, iters, k
                 )
-                vals = np.asarray(vals, np.float32)  # [C, npair, L, K]
+                vals = np.asarray(vals, np.float32)  # [chunk, npair_b, L, K]
                 idx = np.asarray(idx).astype(np.int64)
                 rows = np.arange(L)[:, None]
-                for bi, c in enumerate(batch):
+                for bi, (c, n) in enumerate(batch):
                     res = []
-                    for p, mat in enumerate(cluster_posts[c]):
+                    pairs = [(i, j) for i in range(n) for j in range(i + 1, n)]
+                    for (i, j), mat in zip(pairs, cluster_posts[c]):
+                        s = slot_of[(i, j)]
                         dense = np.zeros((L, L + 1), np.float32)
-                        dense[rows, idx[bi, p]] = vals[bi, p]
+                        dense[rows, idx[bi, s]] = vals[bi, s]
                         res.append(dense[: mat.shape[0], 1 : mat.shape[1] + 1])
                     out[c] = res
             else:
-                trans = np.asarray(_consistency_device(jnp.asarray(stacked), n, iters))
-                for bi, c in enumerate(batch):
+                trans = np.asarray(
+                    _consistency_device(jnp.asarray(stacked), jnp.asarray(inv_n), nb, iters)
+                )
+                for bi, (c, n) in enumerate(batch):
+                    pairs = [(i, j) for i in range(n) for j in range(i + 1, n)]
                     out[c] = [
-                        trans[bi, p, : mat.shape[0], : mat.shape[1]]
-                        for p, mat in enumerate(cluster_posts[c])
+                        trans[bi, slot_of[(i, j)], : mat.shape[0], : mat.shape[1]]
+                        for (i, j), mat in zip(pairs, cluster_posts[c])
                     ]
+
+    for c, n in host_jobs:
+        out[c] = _consistency_host(cluster_posts[c], n, iters)
     return out

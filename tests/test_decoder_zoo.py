@@ -125,3 +125,67 @@ def test_faid_corrects_bsc_errors():
     ok = np.asarray(res.success)
     assert ok.mean() > 0.8
     assert (np.asarray(res.bits)[ok] == cw[ok]).all()
+
+
+def test_lut_faid_matches_scalar_oracle():
+    """Arbitrary-table FAID (LutRule) vs a literal scalar oracle of
+    dec.cpp's Run_Finite_Alphabet_Iterative_Decoder: bits, success, and
+    iteration counts must match per frame for published 5- and 7-level
+    tables under BSC noise."""
+    from oracle_faid import faid_decode_oracle
+
+    from dna_ldpc_tpu.ops.faid import lut_rule
+
+    H = build_rs_ldpc(4, 8, 3)
+    Hd = H.to_dense()
+    graph = LdpcGraph.from_sparse(H)
+    rng = np.random.default_rng(11)
+    cw = random_codewords(Hd, 8, rng)
+    flips = rng.random(cw.shape) < 0.02
+    recv_bits = (cw ^ flips).astype(np.uint8)
+
+    for name in ("planjery7_t2", "tanner5_t5"):
+        rule = lut_rule(name)
+        res = faid_decode(graph, jnp.asarray(recv_bits), max_iter=30, rule=rule)
+        bits = np.asarray(res.bits)
+        ok = np.asarray(res.success)
+        iters = np.asarray(res.iterations)
+        for f in range(len(cw)):
+            recv_pm = np.where(recv_bits[f] == 0, 1, -1)
+            ob, ook, on = faid_decode_oracle(
+                Hd, recv_pm, 30, rule.table, rule.channel_value
+            )
+            assert ook == bool(ok[f]), (name, f)
+            assert on == int(iters[f]), (name, f)
+            np.testing.assert_array_equal(bits[f], ob, err_msg=f"{name} frame {f}")
+
+
+def test_lut_faid_corrects_and_differs_from_threshold():
+    """The 7-level published table corrects BSC errors on the dv=3 code,
+    and is genuinely a different rule from the threshold family (its row
+    structure is not expressible as thresholds on a weighted sum)."""
+    from dna_ldpc_tpu.ops.faid import FAID_TABLES, lut_rule
+
+    H = build_rs_ldpc(4, 8, 3)
+    graph = LdpcGraph.from_sparse(H)
+    rng = np.random.default_rng(4)
+    cw = random_codewords(H.to_dense(), 16, rng)
+    flips = rng.random(cw.shape) < 0.01
+    recv = (cw ^ flips).astype(np.uint8)
+    res = faid_decode(graph, jnp.asarray(recv), max_iter=60, rule=lut_rule())
+    ok = np.asarray(res.success)
+    assert ok.mean() > 0.8
+    assert (np.asarray(res.bits)[ok] == cw[ok]).all()
+
+    # non-threshold structure: a threshold rule's output depends on
+    # (m1 + m2) only; Table 2 has rows violating that
+    t = np.asarray(FAID_TABLES["planjery7_t2"])
+    sums = {}
+    non_additive = False
+    for a in range(7):
+        for b in range(7):
+            key = (a - 3) + (b - 3)
+            if key in sums and sums[key] != t[a][b]:
+                non_additive = True
+            sums.setdefault(key, t[a][b])
+    assert non_additive

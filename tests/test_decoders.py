@@ -87,3 +87,49 @@ def test_channels_shapes_and_signs(code):
     assert (bits_hat == cws).mean() > 0.95
     llr2 = np.abs(np.asarray(channels.bsc_llr(key, cws, 0.05)))
     np.testing.assert_allclose(llr2, np.log(0.95 / 0.05), rtol=1e-6)
+
+
+def test_quasi_uniform_quantizer():
+    """Real quasi-uniform scheme: uniform inner levels, geometric outer
+    thresholds, clipping at the precision limit; the reference's enum-22
+    branch is an empty stub (Cal_MSA_Q type 1, dec.cpp:1737-1740) and its
+    literal all-zero behavior is kept available."""
+    import jax.numpy as jnp
+
+    from dna_ldpc_tpu.ops.decoders import (
+        quantize_llr,
+        quantize_llr_quasi_uniform,
+        quantize_llr_reference_stub,
+    )
+
+    x = jnp.asarray([0.0, 0.4, 0.6, 1.2, 3.0, 6.0, 12.0, 100.0, -6.0, -100.0])
+    q = np.asarray(quantize_llr_quasi_uniform(x, precision=4, step=1.0))
+    # precision 4 -> levels 0..7, uniform region 0..3 (step 1), outer
+    # thresholds 2.5 * 2^(k-3): t4=5, t5=10, t6=20, t7=40
+    np.testing.assert_array_equal(q, [0, 0, 1, 1, 3, 4, 5, 7, -4, -7])
+    # inner region agrees with the uniform quantizer
+    small = jnp.linspace(-3.4, 3.4, 35)
+    np.testing.assert_array_equal(
+        np.asarray(quantize_llr_quasi_uniform(small, 4, 1.0)),
+        np.asarray(quantize_llr(small, 4, 1.0)),
+    )
+    assert not np.asarray(quantize_llr_reference_stub(x)).any()
+
+
+def test_quantized_min_sum_quasi_uniform_decodes():
+    import jax.numpy as jnp
+
+    from dna_ldpc_tpu.ops.decoders import quantized_min_sum_decode
+
+    H = build_rs_ldpc(4, 8, 4)
+    graph = LdpcGraph.from_sparse(H)
+    rng = np.random.default_rng(2)
+    cw = random_codewords(H.to_dense(), 8, rng)
+    llr = 4.0 * np.where(cw == 0, 1.0, -1.0) + rng.normal(0, 1.2, cw.shape)
+    res = quantized_min_sum_decode(
+        graph, jnp.asarray(llr, jnp.float32), precision=5, step=0.5,
+        quantizer="quasi-uniform",
+    )
+    ok = np.asarray(res.success)
+    assert ok.mean() > 0.7
+    assert (np.asarray(res.bits)[ok] == cw[ok]).all()

