@@ -64,6 +64,13 @@ def _build_and_load():
     lib.merge_overlap_batch.argtypes = [
         i8p, i8p, i64p, i64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32, i64p, i64p,
     ]
+    lib.msa_progressive_refine.argtypes = [
+        i8p, i64p, i32p, ctypes.c_int32,       # seqs
+        i32p,                                   # joins
+        f32p, i64p, i32p, i32p,                 # posts
+        i8p, ctypes.c_int32, ctypes.c_int32,    # masks
+        i8p, ctypes.c_int32, i32p,              # out
+    ]
     _lib = lib
     return lib
 
@@ -181,3 +188,56 @@ def merge_overlap_batch_native(
         _ptr(best_o, ctypes.c_int64), _ptr(best_mm, ctypes.c_int64),
     )
     return best_o, best_mm
+
+
+def msa_progressive_refine_native(
+    seqs: list[str],
+    joins: list[tuple[int, int]],
+    pair_posts: list[np.ndarray],
+    masks: np.ndarray,
+    converge_after: int,
+) -> list[str]:
+    """Progressive alignment + refinement of one cluster in native code
+    (MUSCLE ProgressiveAlign/RefineIter; bit-compatible with the Python
+    path in ops/msa/align.py). ``masks``: [iters, n] uint8 bipartitions
+    with all-same rows already removed. Returns aligned rows in input
+    (seq-id) order."""
+    lib = _build_and_load()
+    assert lib is not None
+    n = len(seqs)
+    seq_bytes = [s.encode("latin1") for s in seqs]
+    lens = np.array([len(b) for b in seq_bytes], np.int32)
+    offs = np.zeros(n, np.int64)
+    offs[1:] = np.cumsum(lens[:-1], dtype=np.int64)
+    buf = np.frombuffer(b"".join(seq_bytes), np.uint8).copy()
+
+    joins_arr = np.asarray(joins, np.int32).reshape(-1)
+    posts = [np.ascontiguousarray(p, np.float32) for p in pair_posts]
+    post_r = np.array([p.shape[0] for p in posts], np.int32)
+    post_c = np.array([p.shape[1] for p in posts], np.int32)
+    sizes = post_r.astype(np.int64) * post_c
+    post_off = np.zeros(len(posts), np.int64)
+    post_off[1:] = np.cumsum(sizes[:-1])
+    post_buf = (
+        np.concatenate([p.reshape(-1) for p in posts])
+        if posts else np.zeros(0, np.float32)
+    )
+
+    masks = np.ascontiguousarray(masks, np.uint8)
+    out_cap = int(lens.sum()) + 8
+    out_buf = np.zeros((n, out_cap), np.uint8)
+    out_cols = np.zeros(1, np.int32)
+    lib.msa_progressive_refine(
+        _ptr(buf, ctypes.c_uint8), _ptr(offs, ctypes.c_int64),
+        _ptr(lens, ctypes.c_int32), ctypes.c_int32(n),
+        _ptr(joins_arr, ctypes.c_int32),
+        _ptr(post_buf, ctypes.c_float), _ptr(post_off, ctypes.c_int64),
+        _ptr(post_r, ctypes.c_int32), _ptr(post_c, ctypes.c_int32),
+        _ptr(masks, ctypes.c_uint8), ctypes.c_int32(masks.shape[0] if masks.size else 0),
+        ctypes.c_int32(converge_after),
+        _ptr(out_buf, ctypes.c_uint8), ctypes.c_int32(out_cap),
+        _ptr(out_cols, ctypes.c_int32),
+    )
+    cols = int(out_cols[0])
+    assert cols > 0, "native alignment overflowed its output buffer"
+    return [out_buf[i, :cols].tobytes().decode("latin1") for i in range(n)]

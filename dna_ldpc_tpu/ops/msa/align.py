@@ -347,6 +347,7 @@ def align(
     hmm_params=None,
     tree_perm: str = "none",
     pair_dists: np.ndarray | None = None,
+    use_native: bool = True,
 ) -> list[tuple[int, str]]:
     """Align sequences; returns [(input ordinal, aligned row)] in input
     order. Single sequence passes through unchanged.
@@ -405,6 +406,25 @@ def align(
 
     # 3. guide tree + join order (+ optional ensemble tree permutation)
     joins = permute_join_order(upgma_join_order(dist), tree_perm)
+
+    # 4+5 fast path: progressive alignment + refinement in native code
+    # (bit-compatible; bipartition masks drawn HERE so the numpy RNG
+    # stream matches the Python path exactly)
+    from ... import native_lib
+
+    if use_native and native_lib.available():
+        if n >= 3 and refine_iters:
+            rng = np.random.default_rng(seed)
+            masks = rng.integers(0, 2, (refine_iters, n)).astype(np.uint8)
+            keep = ~((masks.all(axis=1)) | (~masks.any(axis=1)))
+            masks = masks[keep]
+        else:
+            masks = np.zeros((0, n), np.uint8)
+        pair_list = [posts[p] for p in pairs]
+        rows = native_lib.msa_progressive_refine_native(
+            seqs, joins, pair_list, masks, converge_after=5
+        )
+        return list(enumerate(rows))
 
     # 4. progressive alignment
     nodes: dict[int, _Profile] = {
@@ -467,6 +487,7 @@ def align_clusters(
     consistency_iters: int = CONSISTENCY_ITERS,
     seed: int = 0,
     pair_chunk: int = 2048,
+    n_workers: int | None = None,
 ) -> list[list[tuple[int, str]]]:
     """Align many clusters with the device stages batched ACROSS clusters.
 
@@ -505,15 +526,25 @@ def align_clusters(
         res = batch_posteriors(cx, cy)
         posts_flat.extend(res[: len(res) - npad] if npad else res)
 
-    # EA distances from the raw posteriors (before consistency)
-    dists: list[np.ndarray] = []
-    for seqs, (lo, hi) in zip(clusters, spans):
+    # EA distances from the raw posteriors (before consistency); the
+    # native MEA scorer releases the GIL, so clusters score in parallel
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    if n_workers is None:
+        n_workers = min(8, os.cpu_count() or 1)
+
+    def ea_dist(args):
+        seqs, (lo, hi) = args
         n = len(seqs)
         dist = np.zeros((n, n), dtype=np.float64)
         for p, (i, j) in enumerate(cluster_pairs(n)):
             ea = mea_score(posts_flat[lo + p]) / min(len(seqs[i]), len(seqs[j]))
             dist[i, j] = dist[j, i] = 1.0 - min(max(ea, 0.0), 1.0)
-        dists.append(dist)
+        return dist
+
+    with ThreadPoolExecutor(max_workers=n_workers) as pool:
+        dists = list(pool.map(ea_dist, zip(clusters, spans)))
 
     if consistency_iters:
         transformed = consistency_clusters(
@@ -522,18 +553,21 @@ def align_clusters(
     else:
         transformed = [posts_flat[lo:hi] for lo, hi in spans]
 
-    out = []
-    for seqs, posts, dist in zip(clusters, transformed, dists):
-        out.append(
-            align(
-                seqs,
-                refine_iters=refine_iters,
-                consistency_iters=0,   # already applied, batched
-                seed=seed,
-                pair_posts=posts,
-                pair_dists=dist,
-            )
+    # tree + progressive + refine per cluster, thread-parallel (clusters
+    # are independent; the hot DP runs in native code without the GIL)
+    def align_one(args):
+        seqs, posts, dist = args
+        return align(
+            seqs,
+            refine_iters=refine_iters,
+            consistency_iters=0,   # already applied, batched
+            seed=seed,
+            pair_posts=posts,
+            pair_dists=dist,
         )
+
+    with ThreadPoolExecutor(max_workers=n_workers) as pool:
+        out = list(pool.map(align_one, zip(clusters, transformed, dists)))
     return out
 
 

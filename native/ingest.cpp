@@ -11,6 +11,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <string>
 #include <vector>
 #include <algorithm>
 
@@ -239,3 +240,226 @@ void mea_score(const float* post, int32_t LX, int32_t LY, float* score_out) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Progressive alignment + iterative refinement for one cluster
+// (MUSCLE MPCFlat::ProgressiveAlign / Refine, progalnflat.cpp:41-100,
+// refineflat.cpp:4-31), operating on precomputed (consistency-transformed)
+// pair posteriors. Bit-compatible with the Python path in
+// dna_ldpc_tpu/ops/msa/align.py: same f32 accumulation order in the
+// profile-profile posterior, same MEA tie preference (B >= X >= Y), same
+// convergence rule. Refine bipartition masks are drawn by the CALLER
+// (numpy Generator parity) and passed in with all-same masks removed.
+// ---------------------------------------------------------------------------
+
+namespace msa {
+
+static const uint8_t GAPC = (uint8_t)'-';
+
+struct Profile {
+    std::vector<std::vector<uint8_t>> rows;   // aligned bytes (with gaps)
+    std::vector<int> ids;                     // input ordinal per row
+};
+
+static void mea_path(const float* post, int LX, int LY, std::string& path) {
+    const int W = LY + 1;
+    std::vector<char> tb((size_t)(LX + 1) * W);
+    std::vector<float> prev(W), cur(W);
+    for (int j = 0; j <= LY; ++j) { prev[j] = 0.0f; tb[j] = 'Y'; }
+    for (int i = 1; i <= LX; ++i) {
+        cur[0] = 0.0f;
+        tb[(size_t)i * W] = 'X';
+        const float* prow = post + (int64_t)(i - 1) * LY;
+        for (int j = 1; j <= LY; ++j) {
+            float B = prev[j - 1] + prow[j - 1];
+            float X = prev[j];
+            float Y = cur[j - 1];
+            float best; char c;
+            if (B >= X) { if (B >= Y) { best = B; c = 'B'; } else { best = Y; c = 'Y'; } }
+            else if (X >= Y) { best = X; c = 'X'; }
+            else             { best = Y; c = 'Y'; }
+            cur[j] = best;
+            tb[(size_t)i * W + j] = c;
+        }
+        std::swap(prev, cur);
+    }
+    path.clear();
+    int i = LX, j = LY;
+    while (i > 0 || j > 0) {
+        char c = tb[(size_t)i * W + j];
+        path.push_back(c);
+        if (c == 'B') { --i; --j; }
+        else if (c == 'X') --i;
+        else --j;
+    }
+    std::reverse(path.begin(), path.end());
+}
+
+struct PairPosts {
+    const float* buf;
+    const int64_t* off;
+    const int32_t* rows;
+    const int32_t* cols;
+    int n;
+    // pair (a < b) -> flat index in cluster_pairs order
+    int idx(int a, int b) const { return a * n - a * (a + 1) / 2 + (b - a - 1); }
+};
+
+static void pos_to_col(const std::vector<uint8_t>& row, std::vector<int>& out) {
+    out.clear();
+    for (int c = 0; c < (int)row.size(); ++c)
+        if (row[c] != GAPC) out.push_back(c);
+}
+
+// profile-profile posterior + MEA + gap insertion (AlignAlns/BuildPost)
+static Profile align_profiles(const Profile& p1, const Profile& p2,
+                              const PairPosts& pp) {
+    const int c1 = (int)p1.rows[0].size();
+    const int c2 = (int)p2.rows[0].size();
+    std::vector<float> post((size_t)c1 * c2, 0.0f);
+    std::vector<int> cols1, cols2;
+    for (size_t r1 = 0; r1 < p1.rows.size(); ++r1) {
+        int s1 = p1.ids[r1];
+        pos_to_col(p1.rows[r1], cols1);
+        for (size_t r2 = 0; r2 < p2.rows.size(); ++r2) {
+            int s2 = p2.ids[r2];
+            pos_to_col(p2.rows[r2], cols2);
+            if (s1 < s2) {
+                int pi = pp.idx(s1, s2);
+                const float* P = pp.buf + pp.off[pi];
+                int pc = pp.cols[pi];
+                for (size_t a = 0; a < cols1.size(); ++a) {
+                    float* dst = post.data() + (size_t)cols1[a] * c2;
+                    const float* srow = P + (int64_t)a * pc;
+                    for (size_t b = 0; b < cols2.size(); ++b)
+                        dst[cols2[b]] += srow[b];
+                }
+            } else {
+                int pi = pp.idx(s2, s1);
+                const float* P = pp.buf + pp.off[pi];
+                int pc = pp.cols[pi];
+                for (size_t a = 0; a < cols1.size(); ++a) {
+                    float* dst = post.data() + (size_t)cols1[a] * c2;
+                    for (size_t b = 0; b < cols2.size(); ++b)
+                        dst[cols2[b]] += P[(int64_t)b * pc + a];
+                }
+            }
+        }
+    }
+    std::string path;
+    mea_path(post.data(), c1, c2, path);
+
+    Profile out;
+    out.ids = p1.ids;
+    out.ids.insert(out.ids.end(), p2.ids.begin(), p2.ids.end());
+    out.rows.reserve(out.ids.size());
+    for (size_t r = 0; r < p1.rows.size(); ++r) {
+        std::vector<uint8_t> nr(path.size());
+        size_t p = 0;
+        for (size_t k = 0; k < path.size(); ++k)
+            nr[k] = (path[k] == 'B' || path[k] == 'X') ? p1.rows[r][p++] : GAPC;
+        out.rows.push_back(std::move(nr));
+    }
+    for (size_t r = 0; r < p2.rows.size(); ++r) {
+        std::vector<uint8_t> nr(path.size());
+        size_t p = 0;
+        for (size_t k = 0; k < path.size(); ++k)
+            nr[k] = (path[k] == 'B' || path[k] == 'Y') ? p2.rows[r][p++] : GAPC;
+        out.rows.push_back(std::move(nr));
+    }
+    return out;
+}
+
+// subset rows by id set and drop all-gap columns (MultiSequence::Project).
+// Rows are emitted in ASCENDING seq-id order — the Python path's
+// _refine_split builds its sub-profiles from the ascending bipartition
+// id list, and the f32 accumulation order downstream must match.
+static Profile project(const Profile& p, const std::vector<char>& take_id) {
+    Profile out;
+    std::vector<std::pair<int, size_t>> order;
+    for (size_t r = 0; r < p.rows.size(); ++r)
+        if (take_id[p.ids[r]]) order.push_back({p.ids[r], r});
+    std::sort(order.begin(), order.end());
+    std::vector<size_t> keep_rows;
+    for (size_t k = 0; k < order.size(); ++k) {
+        keep_rows.push_back(order[k].second);
+        out.ids.push_back(order[k].first);
+    }
+    const size_t ncol = p.rows[0].size();
+    std::vector<char> keep_col(ncol, 0);
+    size_t kept = 0;
+    for (size_t c = 0; c < ncol; ++c) {
+        for (size_t k = 0; k < keep_rows.size(); ++k)
+            if (p.rows[keep_rows[k]][c] != GAPC) { keep_col[c] = 1; ++kept; break; }
+    }
+    for (size_t k = 0; k < keep_rows.size(); ++k) {
+        const std::vector<uint8_t>& src = p.rows[keep_rows[k]];
+        std::vector<uint8_t> nr; nr.reserve(kept);
+        for (size_t c = 0; c < ncol; ++c) if (keep_col[c]) nr.push_back(src[c]);
+        out.rows.push_back(std::move(nr));
+    }
+    return out;
+}
+
+}  // namespace msa
+
+extern "C" {
+
+void msa_progressive_refine(
+    const uint8_t* seq_buf, const int64_t* seq_off, const int32_t* seq_len,
+    int32_t n,
+    const int32_t* joins,                // [(n-1)*2] node ids
+    const float* post_buf, const int64_t* post_off,
+    const int32_t* post_r, const int32_t* post_c,
+    const uint8_t* masks, int32_t n_masks, int32_t converge_after,
+    uint8_t* out_buf, int32_t out_cap, int32_t* out_cols)
+{
+    using msa::Profile;
+    msa::PairPosts pp{post_buf, post_off, post_r, post_c, (int)n};
+
+    std::vector<Profile> nodes(2 * n - 1);
+    for (int i = 0; i < n; ++i) {
+        nodes[i].ids.push_back(i);
+        nodes[i].rows.emplace_back(seq_buf + seq_off[i], seq_buf + seq_off[i] + seq_len[i]);
+    }
+    for (int k = 0; k < n - 1; ++k) {
+        int a = joins[2 * k], b = joins[2 * k + 1];
+        nodes[n + k] = msa::align_profiles(nodes[a], nodes[b], pp);
+        nodes[a] = Profile();  // release
+        nodes[b] = Profile();
+    }
+    Profile final_p = std::move(nodes[2 * n - 2]);
+
+    // iterative refinement over precomputed bipartitions
+    int unchanged = 0;
+    std::vector<char> take(n);
+    for (int it = 0; it < n_masks && unchanged < converge_after; ++it) {
+        const uint8_t* m = masks + (size_t)it * n;
+        for (int i = 0; i < n; ++i) take[i] = m[i] ? 1 : 0;
+        Profile p1 = msa::project(final_p, take);
+        for (int i = 0; i < n; ++i) take[i] = !take[i];
+        Profile p2 = msa::project(final_p, take);
+        Profile next = msa::align_profiles(p1, p2, pp);
+        // compare with previous by seq id
+        bool same = next.rows[0].size() == final_p.rows[0].size();
+        if (same) {
+            std::vector<int> row_of(n);
+            for (size_t r = 0; r < next.ids.size(); ++r) row_of[next.ids[r]] = (int)r;
+            for (size_t r = 0; r < final_p.rows.size() && same; ++r)
+                same = final_p.rows[r] == next.rows[row_of[final_p.ids[r]]];
+        }
+        unchanged = same ? unchanged + 1 : 0;
+        final_p = std::move(next);
+    }
+
+    const int cols = (int)final_p.rows[0].size();
+    *out_cols = cols;
+    if (cols > out_cap) { *out_cols = -cols; return; }
+    for (size_t r = 0; r < final_p.rows.size(); ++r) {
+        std::memcpy(out_buf + (size_t)final_p.ids[r] * out_cap,
+                    final_p.rows[r].data(), cols);
+    }
+}
+
+}  // extern "C"
+
