@@ -70,6 +70,27 @@ def _consistency_device(pair_mats, inv_n, n, iters):
     return A[:, ii, jj]
 
 
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def _consistency_sparse_in_out(vals, idx, inv_n, n, iters, top_k):
+    """Sparse-in / sparse-out consistency: inputs arrive in the pair-HMM
+    top-k transport form (vals [C, npair, L, K] f32, idx uint8 1-based,
+    0 = pruned) and are densified ON DEVICE — the host<->device traffic
+    is 16-20x smaller than shipping dense pair matrices, which matters
+    when the device link is a thin relay."""
+    C, npair, L, K = vals.shape
+    dense = jnp.zeros((C, npair, L, L + 1), jnp.float32)
+    c = jnp.arange(C)[:, None, None, None]
+    p = jnp.arange(npair)[None, :, None, None]
+    r = jnp.arange(L)[None, None, :, None]
+    dense = dense.at[c, p, r, idx.astype(jnp.int32)].set(vals)
+    out = _consistency_device(dense[..., 1:], inv_n, n, iters)
+    ovals, oidx = jax.lax.top_k(out, top_k)
+    keep = ovals > 0.0
+    ovals = jnp.where(keep, ovals, 0.0)
+    oidx1 = jnp.where(keep, oidx + 1, 0).astype(jnp.uint8)
+    return ovals, oidx1
+
+
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def _consistency_device_sparse(pair_mats, inv_n, n, iters, top_k):
     """Consistency + on-device top-k row sparsification (f32 values —
@@ -112,6 +133,7 @@ def consistency_clusters(
     chunk_elems: int = 1 << 26,
     top_k: int = 8,
     min_device_clusters: int = 4,
+    cluster_sparse=None,
 ) -> list[list[np.ndarray]]:
     """Apply ``iters`` consistency iterations to every cluster's pair
     posteriors on device.
@@ -120,6 +142,12 @@ def consistency_clusters(
     cluster_pairs order, with per-pair shapes [len_i, len_j]. Clusters
     with fewer than 3 sequences pass through unchanged (mpcflat.cpp:185).
     ``chunk_elems`` bounds each device tensor's element count.
+
+    ``cluster_sparse`` optionally supplies, per cluster, the raw top-k
+    transport triplet (vals [npair_c, L, K], idx [npair_c, L, K]) from
+    pairhmm.batch_posteriors_sparse; the device upload then uses the
+    sparse form (16-20x smaller) and densifies on device, producing
+    bit-identical results.
     """
     out: list[list[np.ndarray] | None] = [None] * len(cluster_posts)
 
@@ -168,8 +196,37 @@ def consistency_clusters(
             # pad the cluster axis to the full chunk: exactly ONE compiled
             # einsum per bucket — compiles through the remote TPU service
             # are far more expensive than the wasted FLOPs on pad clusters
-            stacked = np.zeros((chunk, npair_b, L, L), np.float32)
             inv_n = np.ones(chunk, np.float32)
+            if cluster_sparse is not None and use_sparse:
+                K = cluster_sparse[batch[0][0]][0].shape[-1]
+                sv = np.zeros((chunk, npair_b, L, K), np.float32)
+                si = np.zeros((chunk, npair_b, L, K), np.uint8)
+                for bi, (c, n) in enumerate(batch):
+                    inv_n[bi] = 1.0 / n
+                    cv, ci = cluster_sparse[c]
+                    pairs = [(i, j) for i in range(n) for j in range(i + 1, n)]
+                    for pi, (i, j) in enumerate(pairs):
+                        s = slot_of[(i, j)]
+                        sv[bi, s, : cv.shape[1]] = cv[pi]
+                        si[bi, s, : ci.shape[1]] = ci[pi]
+                vals, idx = _consistency_sparse_in_out(
+                    jnp.asarray(sv), jnp.asarray(si), jnp.asarray(inv_n),
+                    nb, iters, k,
+                )
+                vals = np.asarray(vals, np.float32)
+                idx = np.asarray(idx).astype(np.int64)
+                rows = np.arange(L)[:, None]
+                for bi, (c, n) in enumerate(batch):
+                    res = []
+                    pairs = [(i, j) for i in range(n) for j in range(i + 1, n)]
+                    for (i, j), mat in zip(pairs, cluster_posts[c]):
+                        s = slot_of[(i, j)]
+                        dense = np.zeros((L, L + 1), np.float32)
+                        dense[rows, idx[bi, s]] = vals[bi, s]
+                        res.append(dense[: mat.shape[0], 1 : mat.shape[1] + 1])
+                    out[c] = res
+                continue
+            stacked = np.zeros((chunk, npair_b, L, L), np.float32)
             for bi, (c, n) in enumerate(batch):
                 inv_n[bi] = 1.0 / n
                 pairs = [(i, j) for i in range(n) for j in range(i + 1, n)]

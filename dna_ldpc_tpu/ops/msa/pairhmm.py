@@ -319,6 +319,40 @@ def _encode_batch(seqs_x, seqs_y, Lmax):
     return X, Y, Xr, Yr, lxp, lyp, lx, ly, Lmax
 
 
+def batch_posteriors_sparse(
+    seqs_x: list[str], seqs_y: list[str], Lmax: int | None = None, params=None,
+    top_k: int = 8,
+):
+    """Match posteriors in the raw top-k sparse transport form.
+
+    Returns (vals [P, Lmax, K] bf16-as-f32 numpy, idx [P, Lmax, K] uint8
+    1-based with 0 = pruned, lx [P], ly [P], Lmax). The sparse triplet is
+    the cheapest device<->host currency (16-20x smaller than dense) and
+    round-trips losslessly: re-uploading it for the device-batched
+    consistency transform feeds bit-identical values."""
+    X, Y, Xr, Yr, lxp, lyp, lx, ly, Lmax = _encode_batch(seqs_x, seqs_y, Lmax)
+    if Lmax > 255:
+        raise ValueError("sparse transport requires Lmax <= 255 (uint8 indices)")
+    vals, idx = _posteriors_device_sparse(
+        jnp.asarray(X), jnp.asarray(Y), jnp.asarray(Xr), jnp.asarray(Yr),
+        jnp.asarray(lxp), jnp.asarray(lyp), Lmax, top_k, params,
+    )
+    P = len(seqs_x)
+    return (
+        np.asarray(vals, np.float32)[:P],
+        np.asarray(idx)[:P],
+        lx, ly, Lmax,
+    )
+
+
+def densify_sparse(vals: np.ndarray, idx: np.ndarray, lx: int, ly: int) -> np.ndarray:
+    """One pair's sparse rows -> dense [lx, ly] f32 (host side)."""
+    L = vals.shape[0]
+    dense = np.zeros((L, L + 1), np.float32)
+    dense[np.arange(L)[:, None], idx.astype(np.int64)] = vals
+    return dense[:lx, 1 : ly + 1]
+
+
 def batch_posteriors(
     seqs_x: list[str], seqs_y: list[str], Lmax: int | None = None, params=None,
     transport: str = "auto", top_k: int = 8,
