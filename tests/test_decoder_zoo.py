@@ -46,7 +46,7 @@ def test_sliding_window_matches_full_bp(chain):
 
     sw = sliding_window_decode(chain, llr, W=3, iters=20)
     assert (sw == cw).all(), "window decoding should recover at this SNR"
-    # and pipeline_decode is the batched-window alias
+    # and the staged pipeline schedule agrees frame-for-frame
     pl = pipeline_decode(chain, llr, W=3, iters=20)
     assert (pl == sw).all()
 
@@ -189,3 +189,20 @@ def test_lut_faid_corrects_and_differs_from_threshold():
                 non_additive = True
             sums.setdefault(key, t[a][b])
     assert non_additive
+
+
+def test_pipeline_decode_staged_equals_sliding_window(chain):
+    """The true pipelined schedule (frames staggered one window apart,
+    all stages advancing as one batched decode per tick) must reproduce
+    per-frame sliding-window decoding exactly (dec.cpp:1910+ pipeline
+    decoder semantics)."""
+    from dna_ldpc_tpu.models.mod2 import random_codewords
+    from dna_ldpc_tpu.ops.scldpc import pipeline_decode, sliding_window_decode
+
+    rng = np.random.default_rng(9)
+    cw = random_codewords(chain.H.to_dense(), 3, rng)
+    llr = 6.0 * np.where(cw == 0, 1.0, -1.0) + rng.normal(0, 2.0, cw.shape)
+    llr = llr.astype(np.float32)
+    staged = pipeline_decode(chain, llr, W=3, iters=10)
+    ref = sliding_window_decode(chain, llr, W=3, iters=10)
+    np.testing.assert_array_equal(staged, ref)
