@@ -167,8 +167,15 @@ def faid_decode(
     rule = rule or default_faid_rule()
     bits = jnp.atleast_2d(jnp.asarray(hard_bits))
     if isinstance(rule, LutRule):
-        if graph.dv_max != 3:
-            raise ValueError("LutRule FAID requires a column-weight-3 code")
+        # every variable node must have degree exactly 3: a padded edge
+        # (column degree < dv_max) would feed m=0 into the LUT and add
+        # +weights[0] to the decision sum, silently diverging from the
+        # reference's real-edge-only loops (dec.cpp:837-1171)
+        if graph.dv_max != 3 or not graph.var_mask.all():
+            raise ValueError(
+                "LutRule FAID requires a code whose every column has weight "
+                "exactly 3"
+            )
         recv = jnp.where(bits == 0, 1, -1).astype(jnp.float32)
         return _faid_lut_jit(graph, max_iter, rule)(recv)
     y = jnp.where(bits == 0, rule.channel_value, -rule.channel_value).astype(jnp.float32)

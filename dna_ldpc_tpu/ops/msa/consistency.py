@@ -62,8 +62,13 @@ def _consistency_device(pair_mats, inv_n, n, iters):
     for _ in range(iters):
         # sum_z A[i,z] @ A[z,j]; the z == i and z == j terms vanish
         # because the diagonal blocks are zero
+        # precision=HIGHEST: the default matmul precision rounds inputs to
+        # bf16 on TPU, drifting ~2.6e-3 from the host/reference loop and
+        # flipping MEA traceback ties; full f32 keeps the batched path
+        # within ~1e-5 of align()'s host loop
         S = jnp.einsum(
-            "cizab,czjbd->cijad", A, A, preferred_element_type=jnp.float32
+            "cizab,czjbd->cijad", A, A, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         A = jnp.where(A < MIN_SPARSE_PROB, 0.0, (2.0 * A + S) * scale)
 
@@ -94,9 +99,10 @@ def _consistency_sparse_in_out(vals, idx, inv_n, n, iters, top_k):
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def _consistency_device_sparse(pair_mats, inv_n, n, iters, top_k):
     """Consistency + on-device top-k row sparsification (f32 values —
-    full precision, unlike the raw-posterior transport's bf16, so the
-    batched path matches align()'s host loop bit-for-bit — with 1-based
-    uint8 column indices, 0 = pruned)."""
+    full precision, unlike the raw-posterior transport's bf16; with the
+    einsum pinned to Precision.HIGHEST the batched path stays within
+    ~1e-5 of align()'s host loop — 1-based uint8 column indices, 0 =
+    pruned)."""
     out = _consistency_device(pair_mats, inv_n, n, iters)
     vals, idx = jax.lax.top_k(out, top_k)
     keep = vals > 0.0

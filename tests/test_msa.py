@@ -175,3 +175,86 @@ def test_align_clusters_matches_per_cluster_align():
     batched = align_clusters(clusters)
     single = [align(cl) for cl in clusters]
     assert batched == single
+
+
+def test_device_consistency_matches_host_loop():
+    """Force the DEVICE consistency path (min_device_clusters=1) on
+    clusters that would otherwise fall to the host fallback, and compare
+    against the host reference loop. Guards the einsum precision: default
+    matmul precision rounds to bf16 on TPU and drifts ~2.6e-3, flipping
+    MEA ties; Precision.HIGHEST keeps it ~1e-5."""
+    from dna_ldpc_tpu.ops.msa.align import cluster_pairs
+    from dna_ldpc_tpu.ops.msa.consistency import (
+        _consistency_host,
+        consistency_clusters,
+    )
+    from dna_ldpc_tpu.ops.msa.pairhmm import batch_posteriors
+
+    rng = random.Random(13)
+    clusters = []
+    for n in (3, 4, 5):
+        base = _rand_seq(rng, 70)
+        clusters.append(
+            [base] + [_mutate(rng, base, subs=2, dels=1, inss=1) for _ in range(n - 1)]
+        )
+
+    cluster_posts = []
+    for seqs in clusters:
+        pairs = cluster_pairs(len(seqs))
+        cluster_posts.append(
+            batch_posteriors(
+                [seqs[i] for i, _ in pairs], [seqs[j] for _, j in pairs],
+                transport="dense",
+            )
+        )
+
+    dev = consistency_clusters(cluster_posts, min_device_clusters=1)
+    host = [
+        _consistency_host(posts, len(cl), 2)
+        for posts, cl in zip(cluster_posts, clusters)
+    ]
+    for dposts, hposts in zip(dev, host):
+        assert len(dposts) == len(hposts)
+        for d, h in zip(dposts, hposts):
+            assert d.shape == h.shape
+            np.testing.assert_allclose(d, h, atol=2e-5, rtol=1e-4)
+
+
+def test_device_consistency_sparse_in_matches_dense_in():
+    """The sparse-in/sparse-out consistency upload (top-k transport
+    densified on device) must agree with the dense upload path."""
+    from dna_ldpc_tpu.ops.msa.align import cluster_pairs
+    from dna_ldpc_tpu.ops.msa.consistency import consistency_clusters
+    from dna_ldpc_tpu.ops.msa.pairhmm import (
+        batch_posteriors,
+        batch_posteriors_sparse,
+        densify_sparse,
+    )
+
+    rng = random.Random(17)
+    clusters = []
+    for n in (4, 4, 4, 4):  # one full bucket, >= min_device_clusters
+        base = _rand_seq(rng, 64)
+        clusters.append(
+            [base] + [_mutate(rng, base, subs=1, dels=1, inss=0) for _ in range(n - 1)]
+        )
+
+    cluster_posts, cluster_sparse = [], []
+    for seqs in clusters:
+        pairs = cluster_pairs(len(seqs))
+        xs = [seqs[i] for i, _ in pairs]
+        ys = [seqs[j] for _, j in pairs]
+        vals, idx, lxs, lys, _L = batch_posteriors_sparse(xs, ys)
+        cluster_sparse.append((vals, idx))
+        cluster_posts.append(
+            [densify_sparse(vals[p], idx[p], int(lxs[p]), int(lys[p]))
+             for p in range(len(xs))]
+        )
+
+    from_dense = consistency_clusters(cluster_posts, min_device_clusters=1)
+    from_sparse = consistency_clusters(
+        cluster_posts, min_device_clusters=1, cluster_sparse=cluster_sparse
+    )
+    for a, b in zip(from_dense, from_sparse):
+        for d, s in zip(a, b):
+            np.testing.assert_allclose(d, s, atol=1e-6)

@@ -65,3 +65,35 @@ def test_native_edit_distance_matches_numpy():
     offs[1:] = np.cumsum(lens[:-1], dtype=np.int64)
     got = native_lib.edit_distance_batch_native(buf, offs, lens, a, b)
     assert np.array_equal(got, want)
+
+
+def test_native_align_matches_python_path():
+    """align(use_native=True) and align(use_native=False) must produce
+    identical rows: the C++ progressive-alignment+refine port
+    (native/ingest.cpp msa_progressive_refine) claims bit-compatibility
+    with ops/msa/align.py, and once the library builds every MSA test
+    silently runs only the native path — this is the explicit parity
+    check."""
+    from dna_ldpc_tpu.ops.msa.align import align
+
+    rng = random.Random(11)
+
+    def mutate(s, subs, dels, inss):
+        b = list(s)
+        for _ in range(subs):
+            b[rng.randrange(len(b))] = rng.choice("ACGT")
+        for _ in range(dels):
+            del b[rng.randrange(len(b))]
+        for _ in range(inss):
+            b.insert(rng.randrange(len(b)), rng.choice("ACGT"))
+        return "".join(b)
+
+    for n, L in ((3, 60), (4, 90), (5, 136)):
+        base = "".join(rng.choice("ACGT") for _ in range(L))
+        seqs = [base] + [
+            mutate(base, rng.randint(0, 2), rng.randint(0, 2), rng.randint(0, 2))
+            for _ in range(n - 1)
+        ]
+        nat = align(seqs, use_native=True)
+        py = align(seqs, use_native=False)
+        assert nat == py
