@@ -549,9 +549,18 @@ def align_clusters(
             vs.append(chunk_vals[ci][off : off + take])
             is_.append(chunk_idx[ci][off : off + take])
             lo += take
+        # pad rows AND K (chunks re-sparsified by the losslessness guard
+        # may carry K > top_k) to a common shape
         Lm = max(v.shape[1] for v in vs)
-        vs = [np.pad(v, ((0, 0), (0, Lm - v.shape[1]), (0, 0))) for v in vs]
-        is_ = [np.pad(i, ((0, 0), (0, Lm - i.shape[1]), (0, 0))) for i in is_]
+        Km = max(v.shape[2] for v in vs)
+        vs = [
+            np.pad(v, ((0, 0), (0, Lm - v.shape[1]), (0, Km - v.shape[2])))
+            for v in vs
+        ]
+        is_ = [
+            np.pad(i, ((0, 0), (0, Lm - i.shape[1]), (0, Km - i.shape[2])))
+            for i in is_
+        ]
         return np.concatenate(vs), np.concatenate(is_)
 
     # EA distances from the raw posteriors (before consistency); the

@@ -204,7 +204,9 @@ def consistency_clusters(
             # are far more expensive than the wasted FLOPs on pad clusters
             inv_n = np.ones(chunk, np.float32)
             if cluster_sparse is not None and use_sparse:
-                K = cluster_sparse[batch[0][0]][0].shape[-1]
+                # clusters re-sparsified by the losslessness guard may
+                # carry K > top_k: size the upload to the batch max
+                K = max(cluster_sparse[c][0].shape[-1] for c, _ in batch)
                 sv = np.zeros((chunk, npair_b, L, K), np.float32)
                 si = np.zeros((chunk, npair_b, L, K), np.uint8)
                 for bi, (c, n) in enumerate(batch):
@@ -213,8 +215,8 @@ def consistency_clusters(
                     pairs = [(i, j) for i in range(n) for j in range(i + 1, n)]
                     for pi, (i, j) in enumerate(pairs):
                         s = slot_of[(i, j)]
-                        sv[bi, s, : cv.shape[1]] = cv[pi]
-                        si[bi, s, : ci.shape[1]] = ci[pi]
+                        sv[bi, s, : cv.shape[1], : cv.shape[2]] = cv[pi]
+                        si[bi, s, : ci.shape[1], : ci.shape[2]] = ci[pi]
                 vals, idx = _consistency_sparse_in_out(
                     jnp.asarray(sv), jnp.asarray(si), jnp.asarray(inv_n),
                     nb, iters, k,

@@ -59,6 +59,7 @@ parity argument gated behind a flag.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -334,6 +335,35 @@ def _encode_batch(seqs_x, seqs_y, Lmax):
     return X, Y, Xr, Yr, lxp, lyp, lx, ly, Lmax
 
 
+def use_pallas(params=None) -> bool:
+    """Route posteriors through the VMEM-resident Pallas kernel
+    (pairhmm_pallas.py)? Default: yes on TPU for the standard HMM tables
+    (the perturbed-parameter ensemble path keeps the XLA formulation).
+    Override with DNA_LDPC_PAIRHMM=pallas|xla."""
+    if params is not None:
+        return False
+    mode = os.environ.get("DNA_LDPC_PAIRHMM", "auto")
+    if mode == "xla":
+        return False
+    if mode == "pallas":
+        return True
+    return jax.default_backend() == "tpu"
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _sparsify_post(post, top_k):
+    """post [P, Lmax, Lmax] -> top-k transport (bf16 vals, 1-based uint8
+    idx, 0 = pruned) + the maximum per-row surviving support (for the
+    losslessness guard: rows with support > top_k would be silently
+    truncated)."""
+    vals, idx = jax.lax.top_k(post, top_k)
+    keep = vals > 0.0
+    valsq = jnp.where(keep, vals, 0.0).astype(jnp.bfloat16)
+    idx1 = jnp.where(keep, idx + 1, 0).astype(jnp.uint8)
+    max_sup = jnp.max(jnp.sum(post > 0.0, axis=-1))
+    return valsq, idx1, max_sup
+
+
 def batch_posteriors_sparse(
     seqs_x: list[str], seqs_y: list[str], Lmax: int | None = None, params=None,
     top_k: int = 8,
@@ -343,16 +373,38 @@ def batch_posteriors_sparse(
     Returns (vals [P, Lmax, K] bf16-as-f32 numpy, idx [P, Lmax, K] uint8
     1-based with 0 = pruned, lx [P], ly [P], Lmax). The sparse triplet is
     the cheapest device<->host currency (16-20x smaller than dense) and
-    round-trips losslessly: re-uploading it for the device-batched
+    round-trips losslessly: ``top_k`` is a MINIMUM — if any posterior row
+    has more than top_k surviving entries (possible for repetitive
+    reads; MySparseMx prunes by threshold only, mysparsemx.h:3-4), the
+    chunk is re-sparsified at the actual maximum support, so K may come
+    back larger. Re-uploading the triplet for the device-batched
     consistency transform feeds bit-identical values."""
+    P = len(seqs_x)
+    if use_pallas(params):
+        from .pairhmm_pallas import batch_post_pallas
+
+        post, lx, ly, Lmax = batch_post_pallas(seqs_x, seqs_y, Lmax)
+        if Lmax > 255:
+            raise ValueError("sparse transport requires Lmax <= 255 (uint8 indices)")
+        vals, idx, max_sup = _sparsify_post(post, top_k)
+        k_needed = int(max_sup)
+        if k_needed > top_k:  # lossless guard: widen K and redo the top-k
+            vals, idx, _ = _sparsify_post(post, k_needed)
+        return np.asarray(vals, np.float32)[:P], np.asarray(idx)[:P], lx, ly, Lmax
+
     X, Y, Xr, Yr, lxp, lyp, lx, ly, Lmax = _encode_batch(seqs_x, seqs_y, Lmax)
     if Lmax > 255:
         raise ValueError("sparse transport requires Lmax <= 255 (uint8 indices)")
-    vals, idx = _posteriors_device_sparse(
+    vals, idx, max_sup = _posteriors_device_sparse(
         jnp.asarray(X), jnp.asarray(Y), jnp.asarray(Xr), jnp.asarray(Yr),
         jnp.asarray(lxp), jnp.asarray(lyp), Lmax, top_k, params,
     )
-    P = len(seqs_x)
+    k_needed = int(max_sup)
+    if k_needed > top_k:
+        vals, idx, _ = _posteriors_device_sparse(
+            jnp.asarray(X), jnp.asarray(Y), jnp.asarray(Xr), jnp.asarray(Yr),
+            jnp.asarray(lxp), jnp.asarray(lyp), Lmax, k_needed, params,
+        )
     return (
         np.asarray(vals, np.float32)[:P],
         np.asarray(idx)[:P],
@@ -389,21 +441,18 @@ def batch_posteriors(
       column indices; 0 is the prune marker).
     - ``"auto"``: sparse when eligible, else dense.
     """
-    X, Y, Xr, Yr, lxp, lyp, lx, ly, Lmax = _encode_batch(seqs_x, seqs_y, Lmax)
     P = len(seqs_x)
     if transport == "auto":
-        transport = "sparse" if Lmax <= 255 else "dense"
-    if transport == "sparse" and Lmax > 255:
-        raise ValueError("sparse transport requires Lmax <= 255 (uint8 indices)")
+        probe_L = Lmax
+        if probe_L is None:
+            probe_L = max((len(s) for s in list(seqs_x) + list(seqs_y)), default=1)
+        transport = "sparse" if probe_L <= 255 else "dense"
     if transport == "sparse":
-        vals, idx = _posteriors_device_sparse(
-            jnp.asarray(X), jnp.asarray(Y), jnp.asarray(Xr), jnp.asarray(Yr),
-            jnp.asarray(lxp), jnp.asarray(lyp), Lmax, top_k, params,
+        vals, idx, lx, ly, Lmax = batch_posteriors_sparse(
+            seqs_x, seqs_y, Lmax, params, top_k
         )
-        vals = np.asarray(vals, np.float32)  # [P, Lmax, K]
-        idx = np.asarray(idx)                # [P, Lmax, K] uint8
         out = []
-        rows = np.arange(Lmax)[:, None]
+        rows = np.arange(vals.shape[1])[:, None]
         for p in range(P):
             # indices are 1-based with 0 = pruned: scatter into an extra
             # leading column that acts as the prune sink, then drop it
@@ -411,6 +460,15 @@ def batch_posteriors(
             dense[rows, idx[p].astype(np.int64)] = vals[p]
             out.append(dense[: lx[p], 1 : ly[p] + 1])
         return out
+    if use_pallas(params):
+        from .pairhmm_pallas import batch_post_pallas
+
+        post, lx, ly, Lmax = batch_post_pallas(seqs_x, seqs_y, Lmax)
+        post = np.asarray(post)
+        return [post[p, : lx[p], : ly[p]] for p in range(P)]
+    X, Y, Xr, Yr, lxp, lyp, lx, ly, Lmax = _encode_batch(seqs_x, seqs_y, Lmax)
+    if transport == "sparse" and Lmax > 255:
+        raise ValueError("sparse transport requires Lmax <= 255 (uint8 indices)")
     post, _ = _posteriors_device(
         jnp.asarray(X), jnp.asarray(Y), jnp.asarray(Xr), jnp.asarray(Yr),
         jnp.asarray(lxp), jnp.asarray(lyp), Lmax, params,
@@ -426,13 +484,15 @@ def _posteriors_device_sparse(X, Y, Xr, Yr, lx, ly, Lmax, top_k, params=None):
     Posterior columns are 1-based (j in 1..Lmax maps to post[:, :, j-1]);
     the returned uint8 indices are the 1-based j of each kept entry, with
     0 marking pruned slots (values there are exactly 0) — the host
-    scatters into column j and drops column 0."""
+    scatters into column j and drops column 0. Also returns the maximum
+    per-row surviving support (losslessness guard)."""
     post, _ = _posteriors_device(X, Y, Xr, Yr, lx, ly, Lmax, params)
     vals, idx = jax.lax.top_k(post, top_k)             # [P, Lmax, K]
     keep = vals > 0.0
     vals = jnp.where(keep, vals, 0.0).astype(jnp.bfloat16)
     idx1 = jnp.where(keep, idx + 1, 0).astype(jnp.uint8)
-    return vals, idx1
+    max_sup = jnp.max(jnp.sum(post > 0.0, axis=-1))
+    return vals, idx1, max_sup
 
 
 # ---------------------------------------------------------------------------

@@ -258,3 +258,25 @@ def test_device_consistency_sparse_in_matches_dense_in():
     for a, b in zip(from_dense, from_sparse):
         for d, s in zip(a, b):
             np.testing.assert_allclose(d, s, atol=1e-6)
+
+
+def test_sparse_transport_overflow_guard():
+    """A homopolymer pair produces posterior rows with > 8 surviving
+    entries (threshold-only pruning, mysparsemx.h:3-4 keeps them all).
+    The sparse transport must widen K rather than silently truncate."""
+    from dna_ldpc_tpu.ops.msa.pairhmm import (
+        batch_posteriors,
+        batch_posteriors_sparse,
+    )
+
+    xs, ys = ["A" * 20, "ACGTACGT"], ["A" * 30, "ACGAACGT"]
+    dense = batch_posteriors(xs, ys, transport="dense")
+    sup = max((d > 0).sum(axis=1).max() for d in dense)
+    assert sup > 8  # the construction really does overflow top-8
+
+    vals, idx, lx, ly, Lmax = batch_posteriors_sparse(xs, ys, top_k=8)
+    assert vals.shape[-1] >= sup  # K was widened
+    sparse = batch_posteriors(xs, ys, transport="sparse", top_k=8)
+    for d, s in zip(dense, sparse):
+        np.testing.assert_array_equal(d > 0, s > 0)  # no lost entries
+        np.testing.assert_allclose(s, d, rtol=8e-3, atol=1e-6)

@@ -1,0 +1,65 @@
+"""Pallas pair-HMM kernel parity vs the XLA antidiagonal path.
+
+The Pallas kernel (ops/msa/pairhmm_pallas.py) is the TPU production path
+for match posteriors; the XLA path (ops/msa/pairhmm.py), itself validated
+against the scalar oracle (oracle_pairhmm.py), is the reference here. On
+CPU the kernel runs in interpreter mode.
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+from dna_ldpc_tpu.ops.msa.pairhmm import batch_posteriors
+from dna_ldpc_tpu.ops.msa.pairhmm_pallas import batch_post_pallas
+
+
+def _rand_seq(rng, n):
+    return "".join(rng.choice("ACGT") for _ in range(n))
+
+
+def _mutate(rng, s, subs=0, dels=0, inss=0):
+    s = list(s)
+    for _ in range(subs):
+        s[rng.randrange(len(s))] = rng.choice("ACGT")
+    for _ in range(dels):
+        del s[rng.randrange(len(s))]
+    for _ in range(inss):
+        s.insert(rng.randrange(len(s)), rng.choice("ACGT"))
+    return "".join(s)
+
+
+def _check_parity(xs, ys, Lmax):
+    dense = batch_posteriors(xs, ys, transport="dense", Lmax=Lmax)
+    post, lx, ly, _ = batch_post_pallas(xs, ys, Lmax=Lmax)
+    post = np.asarray(post)
+    for p in range(len(xs)):
+        d = dense[p]
+        q = post[p, : lx[p], : ly[p]]
+        assert d.shape == q.shape
+        if d.size:
+            np.testing.assert_allclose(q, d, atol=1e-4, rtol=1e-4)
+
+
+def test_pallas_pairhmm_matches_xla_random():
+    rng = random.Random(0)
+    xs, ys = [], []
+    for _ in range(5):
+        base = _rand_seq(rng, rng.randint(8, 30))
+        xs.append(base)
+        ys.append(_mutate(rng, base, subs=2, dels=1, inss=1))
+    # unrelated + empty + one-empty edge cases
+    xs += [_rand_seq(rng, 12), "", "ACGT", ""]
+    ys += [_rand_seq(rng, 20), "", "", "TTAA"]
+    _check_parity(xs, ys, Lmax=32)
+
+
+def test_pallas_pairhmm_matches_xla_full_lengths():
+    """Same-shape-as-production case: Lmax chosen so W' pads to 256 and
+    the insert-index edge cases (2*Lmax+1 > W') are exercised."""
+    rng = random.Random(3)
+    base = _rand_seq(rng, 130)
+    xs = [base, _rand_seq(rng, 128)]
+    ys = [_mutate(rng, base, subs=3, dels=2, inss=1), _rand_seq(rng, 130)]
+    _check_parity(xs, ys, Lmax=160)
