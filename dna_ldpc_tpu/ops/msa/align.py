@@ -516,12 +516,16 @@ def align_clusters(
     # pair-HMM chunks in the sparse transport form: the (vals, idx)
     # triplets are both densified on host for the CPU stages and
     # re-uploaded AS-IS for the device consistency transform (16-20x
-    # less relay traffic than dense, bit-identical values)
-    from .pairhmm import batch_posteriors_sparse, densify_sparse
+    # less relay traffic than dense, bit-identical values). Chunks are
+    # dispatched ASYNCHRONOUSLY with a small window in flight so host
+    # sequence encoding and per-pair densification overlap the device
+    # compute and the relay transfers.
+    from .pairhmm import batch_posteriors_sparse_start, densify_sparse
 
     chunk_vals: list[np.ndarray] = []
     chunk_idx: list[np.ndarray] = []
     posts_flat: list[np.ndarray] = []
+    jobs: list = []
     for lo in range(0, len(all_x), pair_chunk):
         cx, cy = all_x[lo : lo + pair_chunk], all_y[lo : lo + pair_chunk]
         # pad partial chunks up to pair_chunk with empty pairs so every
@@ -531,8 +535,12 @@ def align_clusters(
             npad = pair_chunk - len(cx)
             cx = cx + [""] * npad
             cy = cy + [""] * npad
-        vals, idx, lxs, lys, _L = batch_posteriors_sparse(cx, cy)
-        P = len(cx) - npad
+        jobs.append((batch_posteriors_sparse_start(cx, cy), len(cx) - npad))
+
+    for ji in range(len(jobs)):
+        job, P = jobs[ji]
+        jobs[ji] = None  # release the device-side post tensor after collect
+        vals, idx, lxs, lys, _L = job.collect()
         chunk_vals.append(vals[:P])
         chunk_idx.append(idx[:P])
         posts_flat.extend(

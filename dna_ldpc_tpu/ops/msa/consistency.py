@@ -42,7 +42,7 @@ import numpy as np
 
 from .pairhmm import MIN_SPARSE_PROB
 
-N_BUCKETS = (3, 4, 6, 8)
+N_BUCKETS = (3, 4, 6, 8, 12, 16)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3))
@@ -87,7 +87,10 @@ def _consistency_sparse_in_out(vals, idx, inv_n, n, iters, top_k):
     c = jnp.arange(C)[:, None, None, None]
     p = jnp.arange(npair)[None, :, None, None]
     r = jnp.arange(L)[None, None, :, None]
-    dense = dense.at[c, p, r, idx.astype(jnp.int32)].set(vals)
+    # vals may arrive as bf16: the pair-HMM sparse transport is bf16, so
+    # the host's f32 copies are bf16-representable and the half-size
+    # upload is lossless (the relay link is the bottleneck)
+    dense = dense.at[c, p, r, idx.astype(jnp.int32)].set(vals.astype(jnp.float32))
     out = _consistency_device(dense[..., 1:], inv_n, n, iters)
     ovals, oidx = jax.lax.top_k(out, top_k)
     keep = ovals > 0.0
@@ -207,7 +210,9 @@ def consistency_clusters(
                 # clusters re-sparsified by the losslessness guard may
                 # carry K > top_k: size the upload to the batch max
                 K = max(cluster_sparse[c][0].shape[-1] for c, _ in batch)
-                sv = np.zeros((chunk, npair_b, L, K), np.float32)
+                import ml_dtypes
+
+                sv = np.zeros((chunk, npair_b, L, K), ml_dtypes.bfloat16)
                 si = np.zeros((chunk, npair_b, L, K), np.uint8)
                 for bi, (c, n) in enumerate(batch):
                     inv_n[bi] = 1.0 / n

@@ -364,6 +364,64 @@ def _sparsify_post(post, top_k):
     return valsq, idx1, max_sup
 
 
+class SparseJob:
+    """Async handle for one sparse-posterior chunk: the device work is
+    dispatched at construction; :meth:`collect` materializes the host
+    arrays (and applies the top-k losslessness guard). Keeping several
+    jobs in flight overlaps host-side sequence encoding with device
+    compute and the relay transfers."""
+
+    def __init__(self, vals, idx, max_sup, redo, P, lx, ly, Lmax, top_k):
+        self._vals, self._idx, self._max_sup = vals, idx, max_sup
+        self._redo, self._P, self._top_k = redo, P, top_k
+        self.lx, self.ly, self.Lmax = lx, ly, Lmax
+
+    def collect(self):
+        vals, idx = self._vals, self._idx
+        k_needed = int(self._max_sup)
+        if k_needed > self._top_k:  # lossless guard: widen K, redo top-k
+            vals, idx, _ = self._redo(k_needed)
+        return (
+            np.asarray(vals, np.float32)[: self._P],
+            np.asarray(idx)[: self._P],
+            self.lx, self.ly, self.Lmax,
+        )
+
+
+def batch_posteriors_sparse_start(
+    seqs_x: list[str], seqs_y: list[str], Lmax: int | None = None, params=None,
+    top_k: int = 8,
+) -> SparseJob:
+    """Dispatch one chunk's pair-HMM + top-k sparsification without
+    blocking on the result; see :class:`SparseJob`."""
+    P = len(seqs_x)
+    if use_pallas(params):
+        from .pairhmm_pallas import batch_post_pallas
+
+        post, lx, ly, Lmax = batch_post_pallas(seqs_x, seqs_y, Lmax)
+        if Lmax > 255:
+            raise ValueError("sparse transport requires Lmax <= 255 (uint8 indices)")
+        vals, idx, max_sup = _sparsify_post(post, top_k)
+        return SparseJob(
+            vals, idx, max_sup, lambda k: _sparsify_post(post, k),
+            P, lx, ly, Lmax, top_k,
+        )
+
+    X, Y, Xr, Yr, lxp, lyp, lx, ly, Lmax = _encode_batch(seqs_x, seqs_y, Lmax)
+    if Lmax > 255:
+        raise ValueError("sparse transport requires Lmax <= 255 (uint8 indices)")
+    args = (
+        jnp.asarray(X), jnp.asarray(Y), jnp.asarray(Xr), jnp.asarray(Yr),
+        jnp.asarray(lxp), jnp.asarray(lyp), Lmax,
+    )
+    vals, idx, max_sup = _posteriors_device_sparse(*args, top_k, params)
+    return SparseJob(
+        vals, idx, max_sup,
+        lambda k: _posteriors_device_sparse(*args, k, params),
+        P, lx, ly, Lmax, top_k,
+    )
+
+
 def batch_posteriors_sparse(
     seqs_x: list[str], seqs_y: list[str], Lmax: int | None = None, params=None,
     top_k: int = 8,
@@ -379,37 +437,9 @@ def batch_posteriors_sparse(
     chunk is re-sparsified at the actual maximum support, so K may come
     back larger. Re-uploading the triplet for the device-batched
     consistency transform feeds bit-identical values."""
-    P = len(seqs_x)
-    if use_pallas(params):
-        from .pairhmm_pallas import batch_post_pallas
-
-        post, lx, ly, Lmax = batch_post_pallas(seqs_x, seqs_y, Lmax)
-        if Lmax > 255:
-            raise ValueError("sparse transport requires Lmax <= 255 (uint8 indices)")
-        vals, idx, max_sup = _sparsify_post(post, top_k)
-        k_needed = int(max_sup)
-        if k_needed > top_k:  # lossless guard: widen K and redo the top-k
-            vals, idx, _ = _sparsify_post(post, k_needed)
-        return np.asarray(vals, np.float32)[:P], np.asarray(idx)[:P], lx, ly, Lmax
-
-    X, Y, Xr, Yr, lxp, lyp, lx, ly, Lmax = _encode_batch(seqs_x, seqs_y, Lmax)
-    if Lmax > 255:
-        raise ValueError("sparse transport requires Lmax <= 255 (uint8 indices)")
-    vals, idx, max_sup = _posteriors_device_sparse(
-        jnp.asarray(X), jnp.asarray(Y), jnp.asarray(Xr), jnp.asarray(Yr),
-        jnp.asarray(lxp), jnp.asarray(lyp), Lmax, top_k, params,
-    )
-    k_needed = int(max_sup)
-    if k_needed > top_k:
-        vals, idx, _ = _posteriors_device_sparse(
-            jnp.asarray(X), jnp.asarray(Y), jnp.asarray(Xr), jnp.asarray(Yr),
-            jnp.asarray(lxp), jnp.asarray(lyp), Lmax, k_needed, params,
-        )
-    return (
-        np.asarray(vals, np.float32)[:P],
-        np.asarray(idx)[:P],
-        lx, ly, Lmax,
-    )
+    return batch_posteriors_sparse_start(
+        seqs_x, seqs_y, Lmax, params, top_k
+    ).collect()
 
 
 def densify_sparse(vals: np.ndarray, idx: np.ndarray, lx: int, ly: int) -> np.ndarray:
