@@ -500,7 +500,20 @@ def align_clusters(
     precomputed posteriors. EA distances are computed from the
     PRE-consistency posteriors exactly as align() does (mpcflat.cpp
     CalcPosteriors -> m_DistMx). Results match per-cluster align().
+
+    On TPU (or with DNA_LDPC_PAIRHMM=pallas) the FUSED flow runs
+    instead: chunk posteriors stay device-resident, EA/MEA scores come
+    from the kernel's third phase, and the consistency transform gathers
+    its inputs on device (_align_clusters_fused) — only the final
+    transformed posteriors cross the relay link, once.
     """
+    from .pairhmm import use_pallas
+
+    if use_pallas():
+        return _align_clusters_fused(
+            clusters, refine_iters, consistency_iters, seed, pair_chunk,
+            n_workers,
+        )
     from .consistency import consistency_clusters
 
     all_x: list[str] = []
@@ -623,3 +636,199 @@ def _refine_split(final: _Profile, g1, g2, posts) -> _Profile:
     p1 = _project(final, [id_to_row[s] for s in g1 if s in id_to_row])
     p2 = _project(final, [id_to_row[s] for s in g2 if s in id_to_row])
     return _align_profiles(p1, p2, posts)
+
+
+def _align_clusters_fused(
+    clusters: list[list[str]],
+    refine_iters: int,
+    consistency_iters: int,
+    seed: int,
+    pair_chunk: int,
+    n_workers: int | None,
+) -> list[list[tuple[int, str]]]:
+    """Device-fused align_clusters (TPU production path).
+
+    The relay link to the chip (~58 MB/s here) is the pipeline's
+    bottleneck, so the flow is organized around keeping pair posteriors
+    ON DEVICE end to end:
+
+    1. clusters are laid out pair-contiguously, RAW zone first (n == 2,
+       n > max bucket, or consistency disabled — clusters whose
+       posteriors must reach the host untransformed), then grouped by
+       consistency bucket size;
+    2. pair-HMM chunks (pallas kernel) produce device-resident
+       posteriors + MEA/EA scores (phase 3) — only the [P] scores are
+       downloaded;
+    3. the consistency transform gathers each bucket dispatch's pairs
+       from the 2-chunk window covering its contiguous pair range
+       (consistency._consistency_fused) and downloads only the final
+       top-k transport;
+    4. raw-zone chunks are top-k sparsified on device and downloaded
+       once. Both downloads pass the bf16/top-k losslessness guard.
+
+    Semantics match the host path (and per-cluster align()) exactly: the
+    gathered posteriors are bf16-rounded on device to equal the sparse
+    transport's values, and the phase-3 MEA scores are bitwise equal to
+    host mea_score() on those values (f32 DP along identical paths).
+    """
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    import jax.numpy as jnp
+
+    from .consistency import N_BUCKETS, _consistency_fused, _consistency_host
+    from .pairhmm import _sparsify_post, densify_sparse
+    from .pairhmm_pallas import batch_post_ea_pallas
+
+    n_cl = len(clusters)
+    sizes = [len(c) for c in clusters]
+
+    # ---- 1. processing order: raw zone, then buckets -------------------
+    raw_ids: list[int] = []
+    groups: dict[int, list[int]] = {}
+    for c in range(n_cl):
+        n = sizes[c]
+        if n < 2:
+            continue  # no pairs
+        if consistency_iters == 0 or n == 2 or n > N_BUCKETS[-1]:
+            raw_ids.append(c)
+        else:
+            nb = next(b for b in N_BUCKETS if b >= n)
+            groups.setdefault(nb, []).append(c)
+    ordered = raw_ids + [c for nb in sorted(groups) for c in groups[nb]]
+
+    all_x: list[str] = []
+    all_y: list[str] = []
+    span: dict[int, tuple[int, int]] = {}
+    for c in ordered:
+        seqs = clusters[c]
+        prs = cluster_pairs(len(seqs))
+        s0 = len(all_x)
+        all_x.extend(seqs[i] for i, _ in prs)
+        all_y.extend(seqs[j] for _, j in prs)
+        span[c] = (s0, len(all_x))
+    ntot = len(all_x)
+    nraw = span[raw_ids[-1]][1] if raw_ids else 0
+
+    # ---- 2. pair-HMM chunks, all padded to pair_chunk ------------------
+    maxlen = max((len(s) for s in all_x + all_y), default=1)
+    Lmax = max(32, -(-maxlen // 32) * 32)
+    posts_dev = []
+    ea_parts = []
+    for lo in range(0, max(ntot, 1), pair_chunk):
+        cx = list(all_x[lo : lo + pair_chunk])
+        cy = list(all_y[lo : lo + pair_chunk])
+        npad = pair_chunk - len(cx)
+        cx += [""] * npad
+        cy += [""] * npad
+        post, ea, _lx, _ly, _L = batch_post_ea_pallas(cx, cy, Lmax)
+        posts_dev.append(post)
+        ea_parts.append(ea)
+    ea_all = np.concatenate([np.asarray(e) for e in ea_parts])[: max(ntot, 1)]
+
+    # ---- EA distances (FixEADistMx) ------------------------------------
+    dists: dict[int, np.ndarray] = {}
+    for c in range(n_cl):
+        seqs = clusters[c]
+        n = len(seqs)
+        d = np.zeros((n, n), dtype=np.float64)
+        if n >= 2:
+            lo = span[c][0]
+            for p, (i, j) in enumerate(cluster_pairs(n)):
+                ea = float(ea_all[lo + p]) / min(len(seqs[i]), len(seqs[j]))
+                d[i, j] = d[j, i] = 1.0 - min(max(ea, 0.0), 1.0)
+        dists[c] = d
+
+    # ---- 3. raw-zone sparsify + download -------------------------------
+    lx_all = np.array([len(s) for s in all_x], np.int32)
+    ly_all = np.array([len(s) for s in all_y], np.int32)
+    raw_flat: dict[int, np.ndarray] = {}
+    if nraw:
+        for ci in range(-(-nraw // pair_chunk)):
+            vals, idx, msup = _sparsify_post(posts_dev[ci], 8)
+            k = int(msup)
+            if k > 8:  # lossless guard
+                vals, idx, _ = _sparsify_post(posts_dev[ci], k)
+            vals = np.asarray(vals, np.float32)
+            idx = np.asarray(idx)
+            for g in range(ci * pair_chunk, min((ci + 1) * pair_chunk, nraw)):
+                p = g - ci * pair_chunk
+                raw_flat[g] = densify_sparse(
+                    vals[p], idx[p], int(lx_all[g]), int(ly_all[g])
+                )
+
+    # ---- 4. bucket dispatches over 2-chunk windows ---------------------
+    transformed: dict[int, list[np.ndarray]] = {}
+    for nb in sorted(groups):
+        members = groups[nb]
+        npair_b = nb * (nb - 1) // 2
+        ii_b, jj_b = np.triu_indices(nb, k=1)
+        slot_of = {(int(a), int(b)): s for s, (a, b) in enumerate(zip(ii_b, jj_b))}
+        C_b = max(1, pair_chunk // npair_b)
+        for mlo in range(0, len(members), C_b):
+            batch = members[mlo : mlo + C_b]
+            g0 = span[batch[0]][0]
+            w = g0 // pair_chunk
+            chunkA = posts_dev[w]
+            chunkB = posts_dev[w + 1] if w + 1 < len(posts_dev) else posts_dev[w]
+            ids = np.zeros(C_b * npair_b, np.int32)
+            mask = np.zeros(C_b * npair_b, bool)
+            inv_n = np.ones(C_b, np.float32)
+            for bi, c in enumerate(batch):
+                n = sizes[c]
+                inv_n[bi] = 1.0 / n
+                lo_c = span[c][0]
+                for pi, (i, j) in enumerate(cluster_pairs(n)):
+                    s = bi * npair_b + slot_of[(i, j)]
+                    ids[s] = lo_c + pi - w * pair_chunk
+                    mask[s] = True
+            args = (
+                chunkA, chunkB, jnp.asarray(ids), jnp.asarray(mask),
+                jnp.asarray(inv_n), nb, consistency_iters,
+            )
+            vals, idx, msup = _consistency_fused(*args, 8)
+            k = int(msup)
+            if k > 8:  # lossless guard; round up to bound recompiles
+                k = -(-k // 8) * 8
+                vals, idx, _ = _consistency_fused(*args, k)
+            vals = np.asarray(vals, np.float32)
+            idx = np.asarray(idx)
+            L = vals.shape[2]
+            rows = np.arange(L)[:, None]
+            for bi, c in enumerate(batch):
+                seqs = clusters[c]
+                n = sizes[c]
+                res = []
+                for pi, (i, j) in enumerate(cluster_pairs(n)):
+                    s = slot_of[(i, j)]
+                    dense = np.zeros((L, L + 1), np.float32)
+                    dense[rows, idx[bi, s].astype(np.int64)] = vals[bi, s]
+                    res.append(dense[: len(seqs[i]), 1 : len(seqs[j]) + 1])
+                transformed[c] = res
+    del posts_dev
+
+    # ---- raw clusters: pass-through or host consistency ----------------
+    for c in raw_ids:
+        lo, hi = span[c]
+        posts = [raw_flat[g] for g in range(lo, hi)]
+        n = sizes[c]
+        if consistency_iters and n > N_BUCKETS[-1]:
+            posts = _consistency_host(posts, n, consistency_iters)
+        transformed[c] = posts
+
+    # ---- 5. tree + progressive + refine per cluster --------------------
+    if n_workers is None:
+        n_workers = min(8, os.cpu_count() or 1)
+
+    def align_one(c):
+        return align(
+            clusters[c],
+            refine_iters=refine_iters,
+            consistency_iters=0,  # applied above (or skipped: n < 3)
+            seed=seed,
+            pair_posts=transformed.get(c),
+            pair_dists=dists[c],
+        )
+
+    with ThreadPoolExecutor(max_workers=n_workers) as pool:
+        return list(pool.map(align_one, range(n_cl)))

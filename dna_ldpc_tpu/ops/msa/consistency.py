@@ -47,6 +47,10 @@ N_BUCKETS = (3, 4, 6, 8, 12, 16)
 
 @functools.partial(jax.jit, static_argnums=(2, 3))
 def _consistency_device(pair_mats, inv_n, n, iters):
+    return _consistency_core(pair_mats, inv_n, n, iters)
+
+
+def _consistency_core(pair_mats, inv_n, n, iters):
     """pair_mats: [C, n*(n-1)/2, L, L] stacked i<j pair posteriors (zero
     padded; n is the BUCKET size). inv_n: [C] per-cluster 1/n_true.
     Returns the transformed pairs in the same layout."""
@@ -112,6 +116,37 @@ def _consistency_device_sparse(pair_mats, inv_n, n, iters, top_k):
     vals = jnp.where(keep, vals, 0.0)
     idx1 = jnp.where(keep, idx + 1, 0).astype(jnp.uint8)
     return vals, idx1
+
+
+@functools.partial(jax.jit, static_argnums=(5, 6, 7))
+def _consistency_fused(chunkA, chunkB, ids, mask, inv_n, n, iters, top_k):
+    """Consistency transform gathered straight from DEVICE-RESIDENT
+    pair-HMM chunk posteriors — no sparse download/re-upload through the
+    relay link (the fused align_clusters path).
+
+    chunkA/chunkB: two consecutive [P_chunk, L, L] chunk post tensors
+    (the window that covers this dispatch's contiguous global pair
+    range; pass the same tensor twice at the tail). ids [C*npair] int32
+    window-local pair ids per (cluster, slot); mask flags real slots.
+    The gathered posteriors are rounded through bf16 to exactly match
+    the values the host path densifies from the sparse transport, so
+    batched and per-cluster align() stay equivalent. Returns the same
+    top-k transport (+ max input row support for the losslessness
+    guard) as _consistency_device_sparse."""
+    C = inv_n.shape[0]
+    npair = n * (n - 1) // 2
+    L = chunkA.shape[-1]
+    sel = jnp.take(jnp.concatenate([chunkA, chunkB], 0), ids, axis=0)
+    sel = jnp.where(mask[:, None, None], sel, 0.0)
+    sel = sel.astype(jnp.bfloat16).astype(jnp.float32)
+    pair_mats = sel.reshape(C, npair, L, L)
+    max_sup = jnp.max(jnp.sum(pair_mats > 0.0, axis=-1))
+    out = _consistency_core(pair_mats, inv_n, n, iters)
+    vals, idx = jax.lax.top_k(out, top_k)
+    keep = vals > 0.0
+    vals = jnp.where(keep, vals, 0.0)
+    idx1 = jnp.where(keep, idx + 1, 0).astype(jnp.uint8)
+    return vals, idx1, max_sup
 
 
 def _consistency_host(posts: list[np.ndarray], n: int, iters: int) -> list[np.ndarray]:

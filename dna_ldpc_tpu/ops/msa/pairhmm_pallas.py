@@ -105,7 +105,8 @@ def _lse(*ts):
     return m + jnp.log(s)
 
 
-def _kernel(xc_ref, yc_ref, yb_ref, lx_ref, ly_ref, out_ref, fmp_ref, *, Lmax, Wp):
+def _kernel(xc_ref, yc_ref, yb_ref, lx_ref, ly_ref, out_ref, ea_ref, fmp_ref, *,
+            Lmax, Wp):
     C = _consts()
     D = 2 * Lmax
     P = xc_ref.shape[0]
@@ -271,32 +272,71 @@ def _kernel(xc_ref, yc_ref, yb_ref, lx_ref, ly_ref, out_ref, fmp_ref, *, Lmax, W
     yb0 = yb_ref[:]  # ydp1 state at d = D + 1: yb[w] = y[D + 2 - w]
     jax.lax.fori_loop(0, D + 1, bwd_body, (init_b, init_b, yb0))
 
+    # ------------- phase 3: MEA alignment score (EA distances) -----------
+    # CalcAlnScoreFlat's max-DP over the match posteriors —
+    #   S[i,j] = max(S[i-1,j-1] + post(i,j), S[i-1,j], S[i,j-1]),
+    #   S[i,0] = S[0,j] = 0 — swept over the SAME antidiagonal slabs,
+    # reading the posterior back from the just-written output plane. The
+    # posterior is rounded through bf16 first so the score equals, bit
+    # for bit, the host mea_score() applied to the bf16 sparse-transport
+    # values (f32 additions along identical DP paths; UPGMA tie-breaks
+    # depend on exact equality here).
+    def mea_body(d, carry):
+        prev2, prev1, best = carry
+        pq = out_ref[pl.ds(d, 1)][0]
+        pq = pq.astype(jnp.bfloat16).astype(f32)
+        cur = jnp.maximum(
+            jnp.maximum(shr(prev2) + pq, shr(prev1)), prev1
+        )
+        j = d - lane
+        valid = (lane <= Lmax) & (j >= 0) & (j <= Lmax)
+        cur = jnp.where(valid & ((lane == 0) | (j == 0)), f32(0.0), cur)
+        cur = jnp.where(valid, cur, NEG)
+        cmask = (lane == lx) & (lsum == d)
+        best = jnp.maximum(best, jnp.where(cmask, cur, NEG))
+        return prev1, cur, best
+
+    s0 = jnp.where(lane == 0, f32(0.0), NEG) + neg_slab * 0  # S at d=0
+    # carry = (diag d-2, diag d-1, best): at d=1 these are (-1: none, 0: s0)
+    _, _, best = jax.lax.fori_loop(1, D + 1, mea_body, (neg_slab, s0, s0))
+    # pairs with lx + ly <= 0 never hit the capture mask inside the loop;
+    # their score is 0 (empty alignment)
+    ea = jnp.max(best, axis=1, keepdims=True)
+    ea_ref[:] = jnp.where(lsum[:, :1] >= 1, ea, f32(0.0))
+
 
 @functools.partial(jax.jit, static_argnums=(5, 6))
 def _post_pallas(Xc, Yc, Yb, lx, ly, Lmax, interpret):
     """Diagonal-layout kernel call + compact re-pack.
 
-    Returns post [P, Lmax, Lmax] f32, identical in layout and semantics
-    to pairhmm._posteriors_device's first return value."""
+    Returns (post [P, Lmax, Lmax] f32 — identical in layout and semantics
+    to pairhmm._posteriors_device's first return value — and ea [P] f32
+    MEA alignment scores over the bf16-rounded posteriors)."""
     P, Wp = Xc.shape
     D = 2 * Lmax
     grid = (P // P_TILE,)
     seq_spec = pl.BlockSpec((P_TILE, Wp), lambda g: (g, 0), memory_space=pltpu.VMEM)
     len_spec = pl.BlockSpec((P_TILE, 1), lambda g: (g, 0), memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
+    out, ea = pl.pallas_call(
         functools.partial(_kernel, Lmax=Lmax, Wp=Wp),
         grid=grid,
         in_specs=[seq_spec, seq_spec, seq_spec, len_spec, len_spec],
-        out_specs=pl.BlockSpec(
-            (D + 1, P_TILE, Wp), lambda g: (0, g, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((D + 1, P, Wp), jnp.float32),
+        out_specs=[
+            pl.BlockSpec(
+                (D + 1, P_TILE, Wp), lambda g: (0, g, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((P_TILE, 1), lambda g: (g, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((D + 1, P, Wp), jnp.float32),
+            jax.ShapeDtypeStruct((P, 1), jnp.float32),
+        ],
         scratch_shapes=[pltpu.VMEM((D + 1, P_TILE, Wp), jnp.float32)],
         interpret=interpret,
     )(Xc, Yc, Yb, lx, ly)
     ii = jnp.arange(1, Lmax + 1)
     post = out[ii[:, None] + ii[None, :], :, ii[:, None]]  # [Lmax, Lmax, P]
-    return jnp.moveaxis(post, -1, 0)
+    return jnp.moveaxis(post, -1, 0), ea[:, 0]
 
 
 def encode_batch_pallas(seqs_x, seqs_y, Lmax: int | None = None):
@@ -333,11 +373,20 @@ def encode_batch_pallas(seqs_x, seqs_y, Lmax: int | None = None):
 
 def batch_post_pallas(seqs_x, seqs_y, Lmax: int | None = None, interpret=None):
     """post [Pb, Lmax, Lmax] f32 device array + (lx, ly, Lmax)."""
+    post, _ea, lx, ly, Lmax = batch_post_ea_pallas(seqs_x, seqs_y, Lmax, interpret)
+    return post, lx, ly, Lmax
+
+
+def batch_post_ea_pallas(seqs_x, seqs_y, Lmax: int | None = None, interpret=None):
+    """(post [Pb, Lmax, Lmax] f32 device, ea [Pb] f32 device MEA scores,
+    lx, ly, Lmax). The posteriors stay on device — the fused LLR pipeline
+    gathers them for the consistency transform without a host round
+    trip."""
     Xc, Yc, Yb, lxp, lyp, lx, ly, Lmax = encode_batch_pallas(seqs_x, seqs_y, Lmax)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    post = _post_pallas(
+    post, ea = _post_pallas(
         jnp.asarray(Xc), jnp.asarray(Yc), jnp.asarray(Yb),
         jnp.asarray(lxp), jnp.asarray(lyp), Lmax, bool(interpret),
     )
-    return post, lx, ly, Lmax
+    return post, ea, lx, ly, Lmax

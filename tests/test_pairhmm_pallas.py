@@ -63,3 +63,35 @@ def test_pallas_pairhmm_matches_xla_full_lengths():
     xs = [base, _rand_seq(rng, 128)]
     ys = [_mutate(rng, base, subs=3, dels=2, inss=1), _rand_seq(rng, 130)]
     _check_parity(xs, ys, Lmax=160)
+
+
+def test_fused_align_clusters_matches_per_cluster_align(monkeypatch):
+    """The device-fused align_clusters flow (posteriors resident on
+    device, on-device EA scores and consistency gather) must reproduce
+    per-cluster align() exactly — including n=2 raw pass-through, every
+    bucket size, and the n>16 host-consistency fallback."""
+    monkeypatch.setenv("DNA_LDPC_PAIRHMM", "pallas")
+    import numpy as np
+
+    from dna_ldpc_tpu.ops.msa.align import align, _align_clusters_fused
+
+    rng = np.random.default_rng(9)
+
+    def noisy(s, nd):
+        b = list(s)
+        for _ in range(nd):
+            del b[rng.integers(0, len(b))]
+        return "".join(b)
+
+    clusters = []
+    for n in (1, 2, 3, 5, 9, 17, 4):
+        s = "".join("ACGT"[i] for i in rng.integers(0, 4, 24))
+        cl = [s] + [noisy(s, int(rng.integers(1, 3))) for _ in range(n - 1)]
+        clusters.append(cl)
+
+    fused = _align_clusters_fused(
+        clusters, refine_iters=10, consistency_iters=2, seed=0,
+        pair_chunk=160, n_workers=2,
+    )
+    single = [align(cl, refine_iters=10) for cl in clusters]
+    assert fused == single
