@@ -1,12 +1,25 @@
 #!/usr/bin/env python
 """Headline benchmark: decoded LDPC codewords/s/chip on the deployed
-n=18432 DNA-storage code at fixed 50 BP iterations (BASELINE.json metric).
+n=18432 DNA-storage code, plus the end-to-end trial (cold AND warm).
 
 Reference baseline: ~0.21 codewords/s end-to-end on CPU (272 codewords per
 ~1300 s trial, ``ex_decoder/o_72000_7_*_result.txt``; BASELINE.md).
 
-Prints exactly one JSON line:
-  {"metric": ..., "value": N, "unit": "codewords/s", "vs_baseline": N}
+Prints exactly one JSON line. Keys:
+  value / vs_baseline            early-stop decoder throughput (the
+                                 headline; trial-like channel converges in
+                                 a handful of iterations)
+  fixed50_codewords_per_s        compute-bound figure: 50 forced BP
+                                 iterations, no early stop
+  fixed50_mfu_pct                fraction of v5e f32 peak the fixed-50 run
+                                 sustains, under a 10*nnz flops/iteration
+                                 model (2 exclusive-product passes + the
+                                 syndrome; BP is permute-bound, so this is
+                                 honestly small)
+  end_to_end_trial_seconds       full simulated trial, COLD process
+                                 (includes compile/cache misses)
+  end_to_end_trial_warm_seconds  second trial in the same process — the
+                                 steady-state per-trial cost
 """
 
 import json
@@ -15,6 +28,7 @@ import time
 import numpy as np
 
 BASELINE_CW_PER_S = 0.21
+V5E_F32_PEAK = 98.5e12 / 2  # bf16 peak 197 TFLOP/s; f32 ~ quarter of that
 
 
 def main():
@@ -39,34 +53,52 @@ def main():
 
     llr = jax.device_put(jnp.asarray(llr_np))
 
-    def decode(x):
+    def decode(x, max_iter, early_stop):
         # Fused Pallas kernel under the reference decoder's real
-        # semantics: flooding sum-product, max 200 iterations, syndrome
-        # early stop per codeword (def_func.py:49; dec.cpp:583-605).
-        # FER/bit parity vs the exact XLA decoder is test-enforced
-        # (tests/test_trace_pallas.py) and re-checked below.
-        r = bp_decode_blocked_pallas(graph.blocked, x, max_iter=200, early_stop=True)
+        # semantics: flooding sum-product, syndrome early stop per
+        # codeword (def_func.py:49; dec.cpp:583-605). FER/bit parity vs
+        # the exact XLA decoder is test-enforced
+        # (tests/test_trace_pallas.py).
+        r = bp_decode_blocked_pallas(
+            graph.blocked, x, max_iter=max_iter, early_stop=early_stop
+        )
         # np.asarray on the tiny per-codeword outputs forces a real
         # device sync (block_until_ready alone can under-report through
         # the remote-TPU tunnel)
         return np.asarray(r.unsat)
 
-    unsat = decode(llr)  # compile + warm up
+    unsat = decode(llr, 200, True)  # compile + warm up
     assert (unsat == 0).all(), "bench workload must fully converge"
 
     times = []
     for _ in range(5):
         t0 = time.perf_counter()
-        decode(llr)
+        decode(llr, 200, True)
         times.append(time.perf_counter() - t0)
-    dt = min(times)
-    value = B / dt
+    value = B / min(times)
+
+    # honest compute-bound figure: 50 forced iterations, no early stop
+    decode(llr, 50, False)  # compile
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        decode(llr, 50, False)
+        times.append(time.perf_counter() - t0)
+    fixed50 = B / min(times)
+    # flops model: per iteration per codeword ~10*nnz f32 ops (check pass
+    # fwd/bwd exclusive products ~4*nnz, variable pass ~4*nnz, syndrome
+    # ~2*nnz); routing itself is data movement, not flops
+    nnz = graph.n_edges
+    flops_per_s = fixed50 * 50 * 10 * nnz
+    mfu = 100.0 * flops_per_s / V5E_F32_PEAK
 
     out = {
         "metric": f"decoded codewords/s/chip (n=18432, fused pallas BP, reference semantics: sum-product, max 200 iters, syndrome early stop; trial-like channel, batch {B})",
         "value": round(value, 1),
         "unit": "codewords/s",
         "vs_baseline": round(value / BASELINE_CW_PER_S, 1),
+        "fixed50_codewords_per_s": round(fixed50, 1),
+        "fixed50_mfu_pct": round(mfu, 2),
     }
     out.update(end_to_end_trial())
     print(json.dumps(out))
@@ -81,21 +113,24 @@ from dna_ldpc_tpu.pipeline.simulate import ChannelModel, load_oligos, simulate_r
 oligos = load_oligos("/root/reference/original files/final_DNA.txt")
 reads, quals = simulate_reads(oligos, 70000, ChannelModel(), seed=0)
 codewords = _load_codewords("/root/reference/ex_decoder")
-r = decode_trial(reads, quals, codewords, TrialConfig())
+r0 = decode_trial(reads, quals, codewords, TrialConfig())
+r1 = decode_trial(reads, quals, codewords, TrialConfig())
 print("TRIAL_JSON " + json.dumps({
-    "ok": bool(r.success),
-    "seconds": round(r.total_time, 2),
-    "phase": {k: round(v, 2) for k, v in r.phase_times.items()},
+    "ok": bool(r0.success and r1.success),
+    "seconds": round(r0.total_time, 2),
+    "warm_seconds": round(r1.total_time, 2),
+    "phase": {k: round(v, 2) for k, v in r0.phase_times.items()},
+    "warm_phase": {k: round(v, 2) for k, v in r1.phase_times.items()},
 }))
 """
 
 
 def end_to_end_trial():
-    """One full simulated 70k-read trial at the calibrated deletion
-    channel (RS filter + edit prefilter + MSA + LLR + 272-codeword BP +
-    anneal), run in a subprocess so a remote-device stall cannot take the
-    whole benchmark down. Reference end-to-end: ~1300 s/trial, ~0.21
-    codewords/s (BASELINE.md)."""
+    """Two full simulated 70k-read trials (RS filter + edit prefilter +
+    MSA + LLR + 272-codeword BP + anneal) in ONE subprocess: the first is
+    the cold figure (compiles included), the second the warm steady
+    state. Reference end-to-end: ~1300 s/trial, ~0.21 codewords/s
+    (BASELINE.md)."""
     import os
     import subprocess
     import sys
@@ -112,12 +147,17 @@ def end_to_end_trial():
             if line.startswith("TRIAL_JSON "):
                 data = json.loads(line[len("TRIAL_JSON "):])
                 secs = data["seconds"]
+                warm = data["warm_seconds"]
                 return {
                     "end_to_end_trial_seconds": secs,
+                    "end_to_end_trial_warm_seconds": warm,
                     "end_to_end_trial_ok": data["ok"],
                     "end_to_end_codewords_per_s": round(272.0 / secs, 2),
+                    "end_to_end_warm_codewords_per_s": round(272.0 / warm, 2),
                     "end_to_end_vs_baseline": round((272.0 / secs) / BASELINE_CW_PER_S, 1),
+                    "end_to_end_warm_vs_baseline": round((272.0 / warm) / BASELINE_CW_PER_S, 1),
                     "end_to_end_phase_times": data["phase"],
+                    "end_to_end_warm_phase_times": data["warm_phase"],
                 }
         return {"end_to_end_trial_seconds": None,
                 "end_to_end_error": (proc.stdout + proc.stderr)[-400:]}
