@@ -148,6 +148,20 @@ def make_sharded_blocked_decoder(code, mesh: Mesh, max_iter: int = 200):
     traffic per step is n-proportional, not edge-proportional.
 
     Requires mesh graph-axis size to divide code.G (gamma=8 deployed).
+
+    Why the multi-chip path is the XLA-blocked formulation and not the
+    fused Pallas kernel (ops/bp_pallas.py): the kernel is a single-core
+    program whose per-block DMA pipeline owns the whole iteration loop —
+    inserting the per-iteration cross-coset psum would mean hand-written
+    RDMA collectives inside the kernel, while the XLA formulation gets
+    the same collective from shard_map+psum with XLA overlapping it
+    against the routing matmuls. The measured single-chip gap (v5e,
+    B=512, deployed graph) is pallas 3,585 vs XLA-blocked 1,504 cw/s at
+    fixed 50 iterations (2.4x) and 12,113 vs 6,625 cw/s with early stop
+    (1.8x); multi-chip decode is for batches beyond one chip's HBM or
+    for latency floors, where the collective-friendly formulation wins
+    over a per-chip 2x. Codeword-axis ("cw") sharding still uses the
+    Pallas kernel per shard — it needs no cross-device graph traffic.
     """
     G, J, q = code.G, code.J, code.q
     N = code.n_vars
@@ -257,3 +271,45 @@ def sharded_blocked_decode(code, mesh: Mesh, llrs: np.ndarray, max_iter: int = 2
     sharding = NamedSharding(mesh, P(CW_AXIS, None))
     llr = jax.device_put(jnp.asarray(np.atleast_2d(llrs), jnp.float32), sharding)
     return fn(llr)
+
+
+@functools.lru_cache(maxsize=16)
+def make_sharded_pallas_decoder(
+    code, mesh: Mesh, max_iter: int = 200, early_stop: bool = True,
+    block_b: int = 64,
+):
+    """Codeword-axis data parallelism with the fused Pallas kernel on
+    every chip: fn(llr [B, N]) -> BpResult.
+
+    The dominant production regime (272 codewords/trial x many trials)
+    needs no cross-device graph traffic at all — each device runs the
+    single-chip Pallas kernel on its codeword shard (the per-chip fast
+    path, 1.8-2.4x the XLA-blocked formulation; see
+    make_sharded_blocked_decoder's docstring for when the coset-sharded
+    XLA path is the right tool instead). B must divide evenly over the
+    ``cw`` axis; the mesh's graph axis, if any, just replicates.
+    """
+    from ..ops.bp_pallas import bp_decode_blocked_pallas
+
+    interpret = jax.default_backend() == "cpu"
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(CW_AXIS, None),),
+        out_specs=(P(CW_AXIS, None), P(CW_AXIS), P(CW_AXIS), P(CW_AXIS)),
+        check_vma=False,
+    )
+    def shard_fn(llr):
+        r = bp_decode_blocked_pallas(
+            code, llr, max_iter=max_iter, early_stop=early_stop,
+            block_b=block_b, interpret=interpret,
+        )
+        return r.bits, r.success, r.iterations, r.unsat
+
+    @jax.jit
+    def decode(llr):
+        bits, success, iters, unsat = shard_fn(llr)
+        return BpResult(bits=bits, success=success, iterations=iters, unsat=unsat)
+
+    return decode
