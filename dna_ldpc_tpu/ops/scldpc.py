@@ -147,18 +147,20 @@ def sliding_window_bec(
 
     Variant note: the reference ships ~10 windowed-BEC variants
     (``DECODER_BEC_SW`` .. ``DECODER_BEC_SW_OPTION``, DNA_main.cpp:59-67;
-    dec.cpp:243-580) that differ in bookkeeping — state saving (_SAVE),
-    two-pass/overlap commits (_TWO, _TWO_CROSS, _TWO_INDI), on-demand
-    check scheduling (_OC), stepped window advance (_STEP), and
-    reset-assisted restarts (_RA). This implementation matches the BASE
-    ``DECODER_BEC_SW`` semantics: a width-(W+w) window slides one block
-    per step, peels to completion (up to ``iters`` rounds), writes every
-    newly-resolved erasure back into the shared value array (so the
-    resolution wave feeds later windows, as the reference's in-place
-    mod2sparse updates do), and commits the oldest block before
-    advancing. The other variants are measurement/scheduling
-    refinements of this same recursion and are deliberately collapsed
-    (SURVEY.md §2.2 note; VERDICT r2 item 6)."""
+    dec.cpp:243-580). This function is the BASE ``DECODER_BEC_SW``
+    recursion: a width-(W+w) window slides one block per step, peels to
+    completion (up to ``iters`` rounds), writes every newly-resolved
+    erasure back into the shared value array (so the resolution wave
+    feeds later windows, as the reference's in-place mod2sparse updates
+    do), and commits the oldest block before advancing. The
+    scheduling-distinct variants are implemented below:
+    ``sliding_window_bec_save`` (_SAVE: per-position erasure-rate
+    bookkeeping), ``sliding_window_bec_two`` (_TWO: mirrored
+    bidirectional sweeps), ``sliding_window_bec_step`` (_STEP: stride-eta
+    advance), ``sliding_window_bec_ra`` (_RA: lockstep dual windows over
+    a repeat-accumulate layout). _TWO_CROSS / _TWO_INDI differ from _TWO
+    only in commit bookkeeping and _OC only in check-activation order;
+    they share these recursions."""
     import jax.numpy as jnp
 
     values = np.atleast_2d(np.asarray(values, np.int8))
@@ -230,3 +232,234 @@ def _peel_values_jit(graph: LdpcGraph, iters: int):
         return vals
 
     return jax.jit(peel)
+
+
+# ---------------------------------------------------------------------------
+# Windowed-BEC variant family (DNA_main.cpp:59-67; dec.cpp:2677-3700)
+# ---------------------------------------------------------------------------
+
+
+def sliding_window_bec_save(
+    chain: ScChain,
+    values,
+    W: int = 4,
+    iters: int = 50,
+):
+    """``DECODER_BEC_SW_SAVE`` (dec.cpp Run_BEC_SW_Decoder_SAVE): the base
+    recursion plus per-position erasure-rate bookkeeping — the
+    ``test_BER(0/1, ...)`` hooks record, for every committed block, the
+    fraction of erased bits immediately BEFORE and AFTER its window's
+    peel (the columns of the reference's ``position_BER`` dump,
+    DNA_main.cpp POSITION_BER_ files).
+
+    Returns (bits, stats [L, 2] float64: mean erased fraction in the
+    commit block before / after peeling, averaged over the batch)."""
+    values = np.atleast_2d(np.asarray(values, np.int8))
+    B = values.shape[0]
+    w, b_v, L = chain.w, chain.b_v, chain.L
+    graph = _window_graph(chain, W)
+
+    pad_l = np.zeros((B, w * b_v), np.int8)
+    pad_r = np.zeros((B, (W - 1) * b_v), np.int8)
+    work = np.concatenate([pad_l, values, pad_r], axis=1)
+    out = np.full((B, L * b_v), ERASE_MARK, np.int8)
+    stats = np.zeros((L, 2), np.float64)
+
+    for t0 in range(L):
+        lo = t0 * b_v
+        commit = slice(lo + w * b_v, lo + (w + 1) * b_v)
+        stats[t0, 0] = (work[:, commit] == ERASE_MARK).mean()
+        win = work[:, lo : lo + (W + w) * b_v]
+        still = np.asarray(_peel_values(graph, win, iters))
+        work[:, lo : lo + (W + w) * b_v] = still
+        stats[t0, 1] = (work[:, commit] == ERASE_MARK).mean()
+        out[:, t0 * b_v : (t0 + 1) * b_v] = still[:, w * b_v : (w + 1) * b_v]
+    return out, stats
+
+
+def sliding_window_bec_two(
+    chain: ScChain,
+    values,
+    W: int = 4,
+    iters: int = 50,
+) -> np.ndarray:
+    """``DECODER_BEC_SW_TWO`` (dec.cpp Run_BEC_SW_Decoder_Two): TWO
+    mirrored windows sweep simultaneously — one forward from the left
+    end, one backward from the right end — sharing the value array, so
+    the two resolution waves meet in the middle. Each step interleaves
+    one forward window (anchor t, committing block t) with one backward
+    window (anchor L-1-t, committing block L-1-t); the window SUBGRAPH is
+    the same in both directions (the chain is shift-invariant), only the
+    anchor mirrors.
+
+    Distinguishing power vs the base sweep: a right-anchored erasure run
+    longer than the window can only be peeled right-to-left from the
+    termination; the base decoder has already committed (and left
+    erased) the run's left blocks by the time its window gets there,
+    while the backward wave resolves them before its own commits."""
+    values = np.atleast_2d(np.asarray(values, np.int8))
+    B = values.shape[0]
+    w, b_v, L = chain.w, chain.b_v, chain.L
+    graph = _window_graph(chain, W)
+
+    pad_l = np.zeros((B, w * b_v), np.int8)
+    pad_r = np.zeros((B, (W - 1) * b_v), np.int8)
+    work = np.concatenate([pad_l, values, pad_r], axis=1)
+    out = np.full((B, L * b_v), ERASE_MARK, np.int8)
+
+    steps = (L + 1) // 2
+    for t in range(steps):
+        # forward window (anchor t, as the base recursion)
+        lo = t * b_v
+        still = np.asarray(_peel_values(graph, work[:, lo : lo + (W + w) * b_v], iters))
+        work[:, lo : lo + (W + w) * b_v] = still
+
+        # backward window (mirrored anchor, oldest active block L-1-t)
+        b2 = L - 1 - t
+        a2 = max(b2 - (W - 1), 0)  # window active blocks [a2, a2+W)
+        lo2 = a2 * b_v             # padded offset of var block a2-w
+        still2 = np.asarray(_peel_values(graph, work[:, lo2 : lo2 + (W + w) * b_v], iters))
+        work[:, lo2 : lo2 + (W + w) * b_v] = still2
+
+    # the reference's _Two writes decisions into dblk in place and the
+    # final dblk is the output (no commit snapshots) — mirror that
+    out[:] = work[:, w * b_v : (w + L) * b_v]
+    return out
+
+
+def sliding_window_bec_step(
+    chain: ScChain,
+    values,
+    W: int = 4,
+    eta: int = 2,
+    iters: int = 50,
+) -> np.ndarray:
+    """``DECODER_BEC_SW_STEP`` (dec.cpp Run_BEC_SW_Decoder_Step): the
+    window advances ``eta`` blocks per step and commits ``eta`` blocks at
+    once — 1/eta as many window dispatches, at the cost of less look-ahead
+    for the later blocks of each commit group (block t0+p sees only
+    W-1-p blocks of right context instead of W-1). Requires eta <= W.
+    eta=1 reduces to the base recursion."""
+    if not 1 <= eta <= W:
+        raise ValueError("need 1 <= eta <= W")
+    values = np.atleast_2d(np.asarray(values, np.int8))
+    B = values.shape[0]
+    w, b_v, L = chain.w, chain.b_v, chain.L
+    graph = _window_graph(chain, W)
+
+    pad_l = np.zeros((B, w * b_v), np.int8)
+    pad_r = np.zeros((B, (W - 1) * b_v), np.int8)
+    work = np.concatenate([pad_l, values, pad_r], axis=1)
+    out = np.full((B, L * b_v), ERASE_MARK, np.int8)
+
+    for t0 in range(0, L, eta):
+        lo = t0 * b_v
+        still = np.asarray(_peel_values(graph, work[:, lo : lo + (W + w) * b_v], iters))
+        work[:, lo : lo + (W + w) * b_v] = still
+        hi = min(t0 + eta, L)
+        out[:, t0 * b_v : hi * b_v] = still[:, w * b_v : (w + hi - t0) * b_v]
+    return out
+
+
+def ra_extend(chain: ScChain) -> SparseBinaryMatrix:
+    """Repeat-accumulate extension of an SC chain: H_ra = [H | A] where A
+    is the (L+w)*b_c-square dual-diagonal accumulator — check j gains
+    parity variable p_j and (for j > 0) p_{j-1}. This is the variable
+    layout the reference's ``DECODER_BEC_SW_RA`` decoder exists for
+    (Run_BEC_SW_Decoder_RA, dec.cpp:3449-3576): systematic variables in
+    the front segment, check-aligned accumulator parities in a tail
+    segment starting at N1, windowed in lockstep by Mc-sized steps."""
+    H = chain.H
+    M = H.n_rows
+    rows = np.repeat(np.arange(M), H.row_weights())
+    cols = H.indices.copy()
+    pr = np.concatenate([np.arange(M), np.arange(1, M)])
+    pc = np.concatenate([np.arange(M), np.arange(M - 1)]) + H.n_cols
+    return SparseBinaryMatrix.from_coo(
+        M, H.n_cols + M, np.concatenate([rows, pr]), np.concatenate([cols, pc])
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _ra_window_graph(chain: ScChain, W: int) -> LdpcGraph:
+    """Window subgraph over BOTH segments: checks [a, a+W)*b_c, systematic
+    vars [a-w, a+W)*b_v, parity vars [a-1, a+W)*b_c (the accumulator
+    reaches one block left). Position-invariant for interior anchors."""
+    w, b_v, b_c, L = chain.w, chain.b_v, chain.b_c, chain.L
+    if L < W + w + 1:
+        raise ValueError("chain too short for this window")
+    H_ra = ra_extend(chain)
+    dense = H_ra.to_dense()
+    a = w + 1
+    n_sys = chain.n_vars
+    rows = dense[a * b_c : (a + W) * b_c]
+    sys_cols = rows[:, (a - w) * b_v : (a + W) * b_v]
+    par_cols = rows[:, n_sys + (a - 1) * b_c : n_sys + (a + W) * b_c]
+    win = np.concatenate([sys_cols, par_cols], axis=1)
+    sub = SparseBinaryMatrix.from_coo(win.shape[0], win.shape[1], *np.nonzero(win))
+    return LdpcGraph.from_sparse(sub)
+
+
+def sliding_window_bec_ra(
+    chain: ScChain,
+    values,
+    W: int = 4,
+    iters: int = 50,
+) -> np.ndarray:
+    """``DECODER_BEC_SW_RA`` (dec.cpp Run_BEC_SW_Decoder_RA): windowed BEC
+    peeling for repeat-accumulate SC codes (``ra_extend``'s layout). Two
+    windows advance in LOCKSTEP and are peeled JOINTLY each step
+    (Iter_BEC_RA_SW_Decoder iterates both ranges inside one fixpoint
+    loop): the systematic window over var blocks [t-w, t+W) and the
+    parity window over the accumulator blocks [t-1, t+W) aligned with the
+    window's checks — the reference's window-2 offsets advance by Mc[]
+    amounts through the segment at N1 for exactly this reason
+    (dec.cpp:3504-3556).
+
+    ``values``: [B, n_vars + n_checks] int8 (systematic segment then
+    parity segment; 2 = erased). Returns the same layout. A decoder
+    without the lockstep parity window cannot decode this family at all:
+    the accumulator columns live outside every systematic window, so
+    their erasures are unresolvable and poison every check they touch."""
+    values = np.atleast_2d(np.asarray(values, np.int8))
+    B = values.shape[0]
+    w, b_v, b_c, L = chain.w, chain.b_v, chain.b_c, chain.L
+    n_sys = chain.n_vars
+    Lc = L + w  # parity blocks
+    graph = _ra_window_graph(chain, W)
+
+    sys_vals = values[:, :n_sys]
+    par_vals = values[:, n_sys:]
+    assert par_vals.shape[1] == Lc * b_c
+
+    pad_l = np.zeros((B, w * b_v), np.int8)
+    pad_r = np.zeros((B, (W - 1) * b_v), np.int8)
+    work_s = np.concatenate([pad_l, sys_vals, pad_r], axis=1)
+    # parity: one known-0 block left (the accumulator's zero start);
+    # right-pad to cover tail windows (same approximation as the
+    # systematic right pad)
+    ppad_l = np.zeros((B, b_c), np.int8)
+    ppad_r = np.zeros((B, max(0, (W - 1) - w + 1) * b_c), np.int8)
+    work_p = np.concatenate([ppad_l, par_vals, ppad_r], axis=1)
+
+    out = np.full((B, n_sys + Lc * b_c), ERASE_MARK, np.int8)
+    n_sys_win = (W + w) * b_v
+
+    for t0 in range(L):
+        lo_s = t0 * b_v                 # sys blocks [t0-w, t0+W)
+        lo_p = t0 * b_c                 # parity blocks [t0-1, t0+W)
+        win = np.concatenate(
+            [work_s[:, lo_s : lo_s + n_sys_win],
+             work_p[:, lo_p : lo_p + (W + 1) * b_c]],
+            axis=1,
+        )
+        still = np.asarray(_peel_values(graph, win, iters))
+        work_s[:, lo_s : lo_s + n_sys_win] = still[:, :n_sys_win]
+        work_p[:, lo_p : lo_p + (W + 1) * b_c] = still[:, n_sys_win:]
+        out[:, t0 * b_v : (t0 + 1) * b_v] = still[:, w * b_v : (w + 1) * b_v]
+        out[:, n_sys + t0 * b_c : n_sys + (t0 + 1) * b_c] = still[
+            :, n_sys_win + b_c : n_sys_win + 2 * b_c
+        ]
+    # tail parity blocks [L, L+w) commit from the final work state
+    out[:, n_sys + L * b_c :] = work_p[:, (L + 1) * b_c : (Lc + 1) * b_c]
+    return out

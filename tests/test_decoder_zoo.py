@@ -206,3 +206,131 @@ def test_pipeline_decode_staged_equals_sliding_window(chain):
     staged = pipeline_decode(chain, llr, W=3, iters=10)
     ref = sliding_window_decode(chain, llr, W=3, iters=10)
     np.testing.assert_array_equal(staged, ref)
+
+
+# ---------------------------------------------------------------------------
+# Windowed-BEC variant family (DNA_main.cpp:59-67, dec.cpp:2677-3700)
+# ---------------------------------------------------------------------------
+
+
+def _one_way_chain(L):
+    """A designed chain that peels ONLY right-to-left through an erased
+    x0-run: b_v=2, b_c=1, w=1, check t = x_{t-1,0} + x_{t,0} + x_{t,1},
+    with x_{t,1} degree 1. Erasing x_{t,0} over a run plus the run
+    start's x_{rs,1} blocks every left-to-right entry (each check in the
+    run sees two erasures), while the run end unlocks from the right."""
+    rows, cols = [], []
+    for t in range(L + 1):
+        if t > 0:
+            rows.append(t)
+            cols.append(2 * (t - 1))
+        if t < L:
+            rows += [t, t]
+            cols += [2 * t, 2 * t + 1]
+    H = SparseBinaryMatrix.from_coo(L + 1, 2 * L, np.array(rows), np.array(cols))
+    from dna_ldpc_tpu.models.scldpc import ScChain
+
+    return ScChain(H=H, L=L, w=1, b_v=2, b_c=1)
+
+
+def _one_way_erasures(chain, rs, T):
+    vals = np.zeros((1, chain.n_vars), np.int8)
+    for t in range(rs, T + 1):
+        vals[0, 2 * t] = ERASE_MARK
+    vals[0, 2 * rs + 1] = ERASE_MARK
+    return vals
+
+
+def test_bec_sw_two_resolves_where_base_stalls():
+    """_TWO (Run_BEC_SW_Decoder_Two): mirrored bidirectional sweeps. A
+    right-half erasure run peelable only right-to-left defeats the base
+    forward sweep (its window passes the run's left blocks before the
+    unlock arrives from the termination) but the backward wave resolves
+    it completely."""
+    from dna_ldpc_tpu.ops.scldpc import sliding_window_bec_two, _peel_values
+
+    chain = _one_way_chain(16)
+    vals = _one_way_erasures(chain, rs=9, T=14)
+    g = LdpcGraph.from_sparse(chain.H)
+    oracle = np.asarray(_peel_values(g, vals.copy(), 300))
+    assert (oracle != ERASE_MARK).all()  # globally resolvable
+
+    base = sliding_window_bec(chain, vals.copy(), W=3, iters=60)
+    assert (base == ERASE_MARK).sum() > 0  # the base variant stalls
+
+    two = sliding_window_bec_two(chain, vals.copy(), W=3, iters=60)
+    assert (two == ERASE_MARK).sum() == 0
+    assert (two == 0).all()  # all-zero codeword recovered exactly
+
+
+def test_bec_sw_step_stride_semantics():
+    """_STEP (Run_BEC_SW_Decoder_Step): stride-eta advance. eta=1 is
+    exactly the base recursion; eta=3 trades look-ahead for 1/3 the
+    window dispatches and strictly loses ground on the one-way chain
+    (misaligned anchors shorten the backward cascade)."""
+    from dna_ldpc_tpu.ops.scldpc import sliding_window_bec_step
+
+    chain = _one_way_chain(16)
+    vals = _one_way_erasures(chain, rs=9, T=14)
+
+    base = sliding_window_bec(chain, vals.copy(), W=3, iters=60)
+    step1 = sliding_window_bec_step(chain, vals.copy(), W=3, eta=1, iters=60)
+    assert (step1 == base).all()
+
+    step3 = sliding_window_bec_step(chain, vals.copy(), W=3, eta=3, iters=60)
+    n_base = (base == ERASE_MARK).sum()
+    n_step3 = (step3 == ERASE_MARK).sum()
+    assert n_step3 > n_base  # the schedules are genuinely different
+    resolved = step3 != ERASE_MARK
+    assert (step3[resolved] == 0).all()  # but never wrong
+
+
+def test_bec_sw_save_position_stats():
+    """_SAVE (Run_BEC_SW_Decoder_SAVE): base recursion + per-position
+    erased-fraction bookkeeping (the reference's test_BER(0/1) columns of
+    POSITION_BER_ dumps)."""
+    from dna_ldpc_tpu.ops.scldpc import sliding_window_bec_save
+
+    chain = _one_way_chain(16)
+    vals = _one_way_erasures(chain, rs=9, T=14)
+    bits, stats = sliding_window_bec_save(chain, vals.copy(), W=3, iters=60)
+    base = sliding_window_bec(chain, vals.copy(), W=3, iters=60)
+    assert (bits == base).all()
+    assert stats.shape == (16, 2)
+    assert (stats[:, 1] <= stats[:, 0]).all()  # peeling only resolves
+    assert stats[:, 0].max() > 0  # the erasures are visible pre-peel
+
+
+def test_bec_sw_ra_matches_global_peel():
+    """_RA (Run_BEC_SW_Decoder_RA): lockstep dual windows over the
+    repeat-accumulate layout [systematic | check-aligned parities]. The
+    windowed decode must equal full-matrix peeling on H_ra = [H | A],
+    including erasures confined to the parity segment (which no
+    systematic-only window ever covers)."""
+    from dna_ldpc_tpu.ops.scldpc import (
+        _peel_values,
+        ra_extend,
+        sliding_window_bec_ra,
+    )
+
+    chain = _one_way_chain(16)
+    H_ra = ra_extend(chain)
+    assert H_ra.n_cols == chain.n_vars + chain.n_checks
+    g_ra = LdpcGraph.from_sparse(H_ra)
+    n_sys = chain.n_vars
+
+    rng = np.random.default_rng(0)
+    for _ in range(4):
+        v = np.zeros((2, H_ra.n_cols), np.int8)
+        v[rng.random(v.shape) < 0.12] = ERASE_MARK
+        oracle = np.asarray(_peel_values(g_ra, v.copy(), 300))
+        ra = sliding_window_bec_ra(chain, v.copy(), W=3, iters=60)
+        assert (ra == oracle).all()
+
+    # parity-only erasures deep in the chain
+    v = np.zeros((1, H_ra.n_cols), np.int8)
+    v[0, n_sys + 5 : n_sys + 12] = ERASE_MARK
+    oracle = np.asarray(_peel_values(g_ra, v.copy(), 300))
+    assert (oracle != ERASE_MARK).all()
+    ra = sliding_window_bec_ra(chain, v.copy(), W=3, iters=60)
+    assert (ra == oracle).all()
