@@ -109,28 +109,39 @@ import json, time, sys
 import numpy as np
 from dna_ldpc_tpu.cli import _load_codewords
 from dna_ldpc_tpu.pipeline.decode import TrialConfig, decode_trial
-from dna_ldpc_tpu.pipeline.simulate import ChannelModel, load_oligos, simulate_reads
+from dna_ldpc_tpu.pipeline.simulate import load_oligos, simulate_trial
 oligos = load_oligos("/root/reference/original files/final_DNA.txt")
-reads, quals = simulate_reads(oligos, 70000, ChannelModel(), seed=0)
 codewords = _load_codewords("/root/reference/ex_decoder")
-r0 = decode_trial(reads, quals, codewords, TrialConfig())
-r1 = decode_trial(reads, quals, codewords, TrialConfig())
+results = []
+for t in range(10):
+    reads, quals = simulate_trial(oligos, trial=t)  # calibrated to the
+    # shipped per-trial read counts + quality distributions
+    r = decode_trial(reads, quals, codewords, TrialConfig())
+    results.append({"ok": bool(r.success), "seconds": round(r.total_time, 2),
+                    "anneal": int(r.n_anneal_iters),
+                    "phase": {k: round(v, 2) for k, v in r.phase_times.items()}})
+    print("TRIAL_DONE " + json.dumps(results[-1]), flush=True)
+warm = sorted(r["seconds"] for r in results[1:])
 print("TRIAL_JSON " + json.dumps({
-    "ok": bool(r0.success and r1.success),
-    "seconds": round(r0.total_time, 2),
-    "warm_seconds": round(r1.total_time, 2),
-    "phase": {k: round(v, 2) for k, v in r0.phase_times.items()},
-    "warm_phase": {k: round(v, 2) for k, v in r1.phase_times.items()},
+    "trials_decoded": sum(1 for r in results if r["ok"]),
+    "trials_total": len(results),
+    "seconds": results[0]["seconds"],
+    "warm_seconds": warm[len(warm) // 2],
+    "phase": results[0]["phase"],
+    "warm_phase": results[1]["phase"],
+    "anneal_iters": [r["anneal"] for r in results],
 }))
 """
 
 
 def end_to_end_trial():
-    """Two full simulated 70k-read trials (RS filter + edit prefilter +
-    MSA + LLR + 272-codeword BP + anneal) in ONE subprocess: the first is
-    the cold figure (compiles included), the second the warm steady
-    state. Reference end-to-end: ~1300 s/trial, ~0.21 codewords/s
-    (BASELINE.md)."""
+    """TEN full simulated trials (RS filter + edit prefilter + MSA + LLR +
+    272-codeword BP + anneal) in ONE subprocess, calibrated to the shipped
+    per-trial read counts and quality-char distributions: trial 0 is the
+    cold figure (compiles included), the warm figure is the median of the
+    rest, and trials_decoded mirrors the reference's 10/10 golden outcome
+    (o_72000_7_*_result.txt). Reference end-to-end: ~1300 s/trial, ~0.21
+    codewords/s (BASELINE.md)."""
     import os
     import subprocess
     import sys
@@ -151,7 +162,9 @@ def end_to_end_trial():
                 return {
                     "end_to_end_trial_seconds": secs,
                     "end_to_end_trial_warm_seconds": warm,
-                    "end_to_end_trial_ok": data["ok"],
+                    "end_to_end_trials_decoded": f"{data['trials_decoded']}/{data['trials_total']}",
+                    "end_to_end_trial_ok": data["trials_decoded"] == data["trials_total"],
+                    "end_to_end_anneal_iters": data["anneal_iters"],
                     "end_to_end_codewords_per_s": round(272.0 / secs, 2),
                     "end_to_end_warm_codewords_per_s": round(272.0 / warm, 2),
                     "end_to_end_vs_baseline": round((272.0 / secs) / BASELINE_CW_PER_S, 1),

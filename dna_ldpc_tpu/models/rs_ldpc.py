@@ -134,11 +134,36 @@ def deployed_column_permutation() -> np.ndarray:
 
     The shipped ``ex_decoder/decode_n18432_m2048_final.pchk`` is exactly a
     column permutation of build_rs_ldpc(8, 72, 8) (verified: identical
-    column-support multisets, unique supports). The permutation has no
-    closed form we could identify — it is presumably an artifact of the
-    authors' unreleased encode-side tooling — so it ships as a data table
-    derived once from the pchk artifact. Column order is load-bearing: it
-    defines the bit positions of the shipped codeword files.
+    column-support multisets; all 18,432 column supports are UNIQUE, so
+    this is THE permutation, not one of several matchings).
+
+    Closed-form hypotheses tested and eliminated (r4):
+
+    - NOT block-preserving: only ~70% of columns stay in their q=256
+      coordinate block, so it cannot factor as (coordinate permutation)
+      x (per-coordinate GF element relabeling) — which rules out every
+      "different primitive element / exponent offset / coset enumeration
+      order" explanation in one stroke;
+    - not a lexicographic sort of column supports, not any
+      reshape-transpose of the index space, not an involution;
+    - deployed block 0 IS structured: it equals eight stacked 256x256
+      identities (each column's check row is its own index in every
+      coset; equivalently an exponent rotation by 190 of our canonical
+      block 0), and 95.8% of adjacent deployed columns are ordered by
+      their coset-0 row — i.e. the matrix is NEARLY sorted with
+      localized disruptions.
+
+    That signature — a convenient invertible block moved to the front,
+    order mostly preserved elsewhere with pivot-like swaps — is what
+    Neal's generator-construction tooling produces: ``make-gen``'s
+    sparse-LU column pivoting reorders pchk columns so the leading M
+    form the decomposable submatrix (LDPC_dec/ldpc/make_gen.cpp,
+    mod2sparse_decomp), and the file's ``_final`` suffix marks that
+    post-processed artifact. The exact order depends on the pivoting
+    run (heuristic + tie-breaking state), so no independent closed form
+    exists; the permutation ships as a data table derived once from the
+    pchk. Column order is load-bearing: it defines the bit positions of
+    the shipped codeword files.
     """
     path = os.path.join(os.path.dirname(__file__), "..", "data", "deployed_colperm.npz")
     return np.load(path)["colperm"]
