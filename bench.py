@@ -113,6 +113,8 @@ from dna_ldpc_tpu.pipeline.simulate import load_oligos, simulate_trial
 oligos = load_oligos("/root/reference/original files/final_DNA.txt")
 codewords = _load_codewords("/root/reference/ex_decoder")
 results = []
+budget = 420.0  # self-bound: never risk the driver's bench timeout
+t0 = time.time()
 for t in range(10):
     reads, quals = simulate_trial(oligos, trial=t)  # calibrated to the
     # shipped per-trial read counts + quality distributions
@@ -121,6 +123,8 @@ for t in range(10):
                     "anneal": int(r.n_anneal_iters),
                     "phase": {k: round(v, 2) for k, v in r.phase_times.items()}})
     print("TRIAL_DONE " + json.dumps(results[-1]), flush=True)
+    if time.time() - t0 > budget and len(results) >= 2:
+        break
 warm = sorted(r["seconds"] for r in results[1:])
 print("TRIAL_JSON " + json.dumps({
     "trials_decoded": sum(1 for r in results if r["ok"]),
