@@ -739,26 +739,19 @@ def _align_clusters_fused(
                 d[i, j] = d[j, i] = 1.0 - min(max(ea, 0.0), 1.0)
         dists[c] = d
 
-    # ---- 3. raw-zone sparsify + download -------------------------------
+    # ---- 3+4. raw-zone sparsify + bucket dispatches, ALL issued async --
+    # every device call is dispatched before anything is collected, so
+    # the relay transfers and device compute of later dispatches overlap
+    # the host-side densification of earlier ones
     lx_all = np.array([len(s) for s in all_x], np.int32)
     ly_all = np.array([len(s) for s in all_y], np.int32)
-    raw_flat: dict[int, np.ndarray] = {}
+    raw_jobs = []  # (ci, vals_dev, idx_dev, msup_dev)
     if nraw:
         for ci in range(-(-nraw // pair_chunk)):
             vals, idx, msup = _sparsify_post(posts_dev[ci], 8)
-            k = int(msup)
-            if k > 8:  # lossless guard
-                vals, idx, _ = _sparsify_post(posts_dev[ci], k)
-            vals = np.asarray(vals, np.float32)
-            idx = np.asarray(idx)
-            for g in range(ci * pair_chunk, min((ci + 1) * pair_chunk, nraw)):
-                p = g - ci * pair_chunk
-                raw_flat[g] = densify_sparse(
-                    vals[p], idx[p], int(lx_all[g]), int(ly_all[g])
-                )
+            raw_jobs.append((ci, vals, idx, msup))
 
-    # ---- 4. bucket dispatches over 2-chunk windows ---------------------
-    transformed: dict[int, list[np.ndarray]] = {}
+    bucket_jobs = []  # (batch, slot_of, npair_b, args, vals, idx, msup)
     for nb in sorted(groups):
         members = groups[nb]
         npair_b = nb * (nb - 1) // 2
@@ -787,25 +780,44 @@ def _align_clusters_fused(
                 jnp.asarray(inv_n), nb, consistency_iters,
             )
             vals, idx, msup = _consistency_fused(*args, 8)
-            k = int(msup)
-            if k > 8:  # lossless guard; round up to bound recompiles
-                k = -(-k // 8) * 8
-                vals, idx, _ = _consistency_fused(*args, k)
-            vals = np.asarray(vals, np.float32)
-            idx = np.asarray(idx)
-            L = vals.shape[2]
-            rows = np.arange(L)[:, None]
-            for bi, c in enumerate(batch):
-                seqs = clusters[c]
-                n = sizes[c]
-                res = []
-                for pi, (i, j) in enumerate(cluster_pairs(n)):
-                    s = slot_of[(i, j)]
-                    dense = np.zeros((L, L + 1), np.float32)
-                    dense[rows, idx[bi, s].astype(np.int64)] = vals[bi, s]
-                    res.append(dense[: len(seqs[i]), 1 : len(seqs[j]) + 1])
-                transformed[c] = res
-    del posts_dev
+            bucket_jobs.append((batch, slot_of, args, vals, idx, msup))
+
+    # ---- collect: raw zone ---------------------------------------------
+    raw_flat: dict[int, np.ndarray] = {}
+    for ci, vals, idx, msup in raw_jobs:
+        k = int(msup)
+        if k > 8:  # lossless guard
+            vals, idx, _ = _sparsify_post(posts_dev[ci], k)
+        vals = np.asarray(vals, np.float32)
+        idx = np.asarray(idx)
+        for g in range(ci * pair_chunk, min((ci + 1) * pair_chunk, nraw)):
+            p = g - ci * pair_chunk
+            raw_flat[g] = densify_sparse(
+                vals[p], idx[p], int(lx_all[g]), int(ly_all[g])
+            )
+
+    # ---- collect: bucket dispatches ------------------------------------
+    transformed: dict[int, list[np.ndarray]] = {}
+    for batch, slot_of, args, vals, idx, msup in bucket_jobs:
+        k = int(msup)
+        if k > 8:  # lossless guard; round up to bound recompiles
+            k = -(-k // 8) * 8
+            vals, idx, _ = _consistency_fused(*args, k)
+        vals = np.asarray(vals, np.float32)
+        idx = np.asarray(idx)
+        L = vals.shape[2]
+        rows = np.arange(L)[:, None]
+        for bi, c in enumerate(batch):
+            seqs = clusters[c]
+            n = sizes[c]
+            res = []
+            for pi, (i, j) in enumerate(cluster_pairs(n)):
+                s = slot_of[(i, j)]
+                dense = np.zeros((L, L + 1), np.float32)
+                dense[rows, idx[bi, s].astype(np.int64)] = vals[bi, s]
+                res.append(dense[: len(seqs[i]), 1 : len(seqs[j]) + 1])
+            transformed[c] = res
+    del posts_dev, raw_jobs, bucket_jobs
 
     # ---- raw clusters: pass-through or host consistency ----------------
     for c in raw_ids:

@@ -40,20 +40,19 @@ Posterior(i~j) = exp(Fwd_M[i,j] + Bwd_M[i,j] - total), zeroed below 0.01
 trans-folded backward plane and assembles posteriors ON DEVICE — the full
 5-state tensors never leave the chip.
 
-Performance status (measured, one v5e chip): ~2.4 s per 2048-pair chunk
-at Lmax=160 (~1.2 ms/pair, ~57 s for a 45k-pair trial) — the end-to-end
-pipeline's dominant device cost. The XLA antidiagonal formulation is
-HBM-bound with poor tile utilization: slabs are [P, 6, W] f32, whose
-state axis pads 6->8 sublanes and W=161 -> 256 lanes (~2.1x wasted
-traffic), and every of the ~2L steps round-trips the slab through HBM.
-The planned next step (round 4) is a Pallas kernel that keeps the whole
-per-pair DP resident in VMEM (per-pair state is only W x 6 f32 plus the
-two planes, ~420 KB — tiles of ~16-32 pairs fit easily), streaming only
-sequences in and top-k sparse posteriors out; a transposed [*, P] layout
-(pairs on the 128-lane axis) is the fallback if the full kernel slips.
-A banded DP (|i - j| <= ~24; reads differ by <= a few indels) stacks a
-further ~5x on top for this domain, at the cost of an exactness-vs-full
-parity argument gated behind a flag.
+Performance status (measured, one v5e chip): the XLA antidiagonal
+formulation here costs ~2.4 s per 2048-pair chunk at Lmax=160
+(~1.2 ms/pair) — not HBM traffic but ~2L sequential dispatch/gather
+steps. The PRODUCTION path on TPU is therefore the VMEM-resident Pallas
+kernel (``pairhmm_pallas.py``, routed via :func:`use_pallas`): 15.5 ms
+per 2048-pair chunk (~7.6 us/pair, ~160x), with the forward sweep, an
+anti-causal backward sweep, posterior assembly, and the MEA/EA score
+phase fused in one kernel. This XLA path remains the CPU/float64 path,
+the perturbed-parameter (ensemble) path, and the parity oracle the
+kernel is tested against. A banded DP (|i - j| <= ~24) was considered
+and rejected: at 7.6 us/pair the whole ~45k-pair stage is ~0.4 s of a
+~31 s trial, so the extra exactness argument (band-exactness must be
+proven per trial) buys under 1% end to end.
 """
 
 from __future__ import annotations
