@@ -158,9 +158,10 @@ def sliding_window_bec(
     bookkeeping), ``sliding_window_bec_two`` (_TWO: mirrored
     bidirectional sweeps), ``sliding_window_bec_step`` (_STEP: stride-eta
     advance), ``sliding_window_bec_ra`` (_RA: lockstep dual windows over
-    a repeat-accumulate layout). _TWO_CROSS / _TWO_INDI differ from _TWO
-    only in commit bookkeeping and _OC only in check-activation order;
-    they share these recursions."""
+    a repeat-accumulate layout), ``sliding_window_bec_oc`` (_OC: eta
+    concurrent segment waves, batched on the TPU batch axis). _TWO_CROSS
+    and _TWO_INDI differ from _TWO only in commit bookkeeping and share
+    its recursion."""
     import jax.numpy as jnp
 
     values = np.atleast_2d(np.asarray(values, np.int8))
@@ -462,4 +463,66 @@ def sliding_window_bec_ra(
         ]
     # tail parity blocks [L, L+w) commit from the final work state
     out[:, n_sys + L * b_c :] = work_p[:, (L + 1) * b_c : (Lc + 1) * b_c]
+    return out
+
+
+def sliding_window_bec_oc(
+    chain: ScChain,
+    values,
+    W: int = 4,
+    eta: int = 2,
+    iters: int = 50,
+) -> np.ndarray:
+    """``DECODER_BEC_SW_OC`` (dec.cpp Run_BEC_SW_Decoder_OC): ``eta``
+    windows sweep ``eta`` contiguous chain segments CONCURRENTLY — the
+    reference keeps eta (V/C/D)_Start..End range sets and iterates each
+    per step after a joint warm-up pass (dec.cpp:2804-2856). The decoding
+    latency drops to ~L/eta window steps at the cost of each segment's
+    head starting WITHOUT its left context (the previous segment's tail
+    has not been decoded when the wave sets off).
+
+    TPU-native mapping: the eta windows of one step share the window
+    subgraph, so they peel as ONE batched call with windows stacked on
+    the batch axis — the same trick that turns the reference's pipeline
+    decoder into a batch (pipeline_decode). Requires segment length
+    L//eta >= W + w so concurrent windows never overlap. Output follows
+    the in-place dblk convention (final work-array state)."""
+    values = np.atleast_2d(np.asarray(values, np.int8))
+    B = values.shape[0]
+    w, b_v, L = chain.w, chain.b_v, chain.L
+    Ls = L // eta
+    if Ls < W + w:
+        raise ValueError("need L // eta >= W + w (non-overlapping windows)")
+    graph = _window_graph(chain, W)
+    win_n = (W + w) * b_v
+
+    pad_l = np.zeros((B, w * b_v), np.int8)
+    pad_r = np.zeros((B, (W - 1) * b_v), np.int8)
+    work = np.concatenate([pad_l, values, pad_r], axis=1)
+
+    def peel_anchors(anchors):
+        """One batched peel of same-shaped windows at several anchors."""
+        wins = np.concatenate(
+            [work[:, a * b_v : a * b_v + win_n] for a in anchors], axis=0
+        )
+        still = np.asarray(_peel_values(graph, wins, iters))
+        for k, a in enumerate(anchors):
+            work[:, a * b_v : a * b_v + win_n] = still[k * B : (k + 1) * B]
+
+    # joint warm-up: every segment head + the residual tail region
+    # (Init_BEC_SW_Decoder calls + Iter_BEC_OC_Init_Decoder, dec.cpp:2824-2832)
+    heads = [p * Ls for p in range(eta)]
+    peel_anchors(heads)
+    if eta * Ls < L:
+        peel_anchors([min(eta * Ls, L - 1)])
+
+    # eta concurrent waves, one batched peel per step
+    for t in range(Ls):
+        peel_anchors([p * Ls + t for p in range(eta)])
+    # residual tail blocks (L not divisible by eta): the last wave carries on
+    for t0 in range(eta * Ls, L):
+        peel_anchors([t0])
+
+    out = np.full((B, L * b_v), ERASE_MARK, np.int8)
+    out[:] = work[:, w * b_v : (w + L) * b_v]
     return out

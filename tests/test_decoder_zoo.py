@@ -334,3 +334,39 @@ def test_bec_sw_ra_matches_global_peel():
     assert (oracle != ERASE_MARK).all()
     ra = sliding_window_bec_ra(chain, v.copy(), W=3, iters=60)
     assert (ra == oracle).all()
+
+
+def test_bec_sw_oc_concurrent_segments():
+    """_OC (Run_BEC_SW_Decoder_OC): eta concurrent segment waves. On a
+    left-to-right-only erasure run crossing deep into segment 2, the
+    second segment's wave outruns the left context it needs (the first
+    wave is still far away when it passes), so _OC strands bits the base
+    single-wave sweep resolves — the schedules are observably different
+    — while everything it does resolve is exact."""
+    from dna_ldpc_tpu.ops.scldpc import sliding_window_bec_oc, _peel_values
+
+    chain = _one_way_chain(20)
+    vals = np.zeros((1, chain.n_vars), np.int8)
+    for t in range(4, 18):
+        vals[0, 2 * t] = ERASE_MARK
+
+    g = LdpcGraph.from_sparse(chain.H)
+    oracle = np.asarray(_peel_values(g, vals.copy(), 300))
+    assert (oracle != ERASE_MARK).all()
+
+    base = sliding_window_bec(chain, vals.copy(), W=4, iters=60)
+    assert (base == ERASE_MARK).sum() == 0
+
+    oc = sliding_window_bec_oc(chain, vals.copy(), W=4, eta=2, iters=60)
+    assert (oc == ERASE_MARK).sum() > 0      # latency-for-context tradeoff
+    resolved = oc != ERASE_MARK
+    assert (oc[resolved] == 0).all()          # never wrong
+
+    # and on a run each wave can handle locally, _OC matches base exactly
+    vals2 = np.zeros((1, chain.n_vars), np.int8)
+    for t in range(12, 17):
+        vals2[0, 2 * t] = ERASE_MARK
+    assert (
+        sliding_window_bec_oc(chain, vals2.copy(), W=4, eta=2, iters=60)
+        == sliding_window_bec(chain, vals2.copy(), W=4, iters=60)
+    ).all()
