@@ -167,7 +167,7 @@ def _bp_kernel(max_iter: int, early_stop: bool, G: int, J: int, q: int, Bc: int)
                 psum[...] += (v0 < 0).astype(i32)
                 return 0
 
-            jax.lax.fori_loop(0, J, init_j, 0)
+            jax.lax.fori_loop(0, J, init_j, 0, unroll=J)
             acc[0] = acc[0] + jnp.sum(psum[...] % 2, axis=1, keepdims=True)
 
         stream_g(None, t_hbm, init_body)
@@ -178,7 +178,7 @@ def _bp_kernel(max_iter: int, early_stop: bool, G: int, J: int, q: int, Bc: int)
             wr(bits_l, j, (rd(post, j) < 0).astype(u8))
             return 0
 
-        jax.lax.fori_loop(0, J, bits0_j, 0)
+        jax.lax.fori_loop(0, J, bits0_j, 0, unroll=J)
         done_v[...] = (unsat0 == 0).astype(i32)
         unsat_v[...] = unsat0
         iters_v[...] = jnp.zeros((Bc, 1), i32)
@@ -202,7 +202,7 @@ def _bp_kernel(max_iter: int, early_stop: bool, G: int, J: int, q: int, Bc: int)
                     wr(bbuf, j, rd2(slot, j + 1).astype(f32) * rd(bbuf, j + 1))
                     return 0
 
-                jax.lax.fori_loop(0, J - 1, bwd, 0)
+                jax.lax.fori_loop(0, J - 1, bwd, 0, unroll=J - 1)
 
                 def fwd(j, F):
                     t_j = rd2(slot, j).astype(f32)
@@ -214,7 +214,7 @@ def _bp_kernel(max_iter: int, early_stop: bool, G: int, J: int, q: int, Bc: int)
                     wr2(slot, j, c2v)  # the slab becomes c2v
                     return F * t_j
 
-                jax.lax.fori_loop(0, J, fwd, ones)
+                jax.lax.fori_loop(0, J, fwd, ones, unroll=J)
 
             stream_g(t_hbm, c2v_hbm, phase_b)
 
@@ -224,7 +224,7 @@ def _bp_kernel(max_iter: int, early_stop: bool, G: int, J: int, q: int, Bc: int)
                 wr(bits_l, j, jnp.where(done_prev, rd(bits_l, j), newb))
                 return 0
 
-            jax.lax.fori_loop(0, J, blend, 0)
+            jax.lax.fori_loop(0, J, blend, 0, unroll=J)
 
             # Phase C: variable update + syndrome of the new decisions
             acc[0] = jnp.zeros((Bc, 1), i32)
@@ -241,7 +241,7 @@ def _bp_kernel(max_iter: int, early_stop: bool, G: int, J: int, q: int, Bc: int)
                     psum[...] += jnp.logical_not(postpc > 0).astype(i32)
                     return 0
 
-                jax.lax.fori_loop(0, J, upd, 0)
+                jax.lax.fori_loop(0, J, upd, 0, unroll=J)
                 acc[0] = acc[0] + jnp.sum(psum[...] % 2, axis=1, keepdims=True)
 
             stream_g(c2v_hbm, t_hbm, phase_c)
