@@ -71,6 +71,13 @@ def _build_and_load():
         i8p, ctypes.c_int32, ctypes.c_int32,    # masks
         i8p, ctypes.c_int32, i32p,              # out
     ]
+    lib.msa_progressive_refine_sp.argtypes = [
+        i8p, i64p, i32p, ctypes.c_int32,       # seqs
+        i32p,                                   # joins
+        f32p, i8p, i64p, i32p, ctypes.c_int32,  # sparse posts (vals/idx/off/rows/K)
+        i8p, ctypes.c_int32, ctypes.c_int32,    # masks
+        i8p, ctypes.c_int32, i32p,              # out
+    ]
     _lib = lib
     return lib
 
@@ -233,6 +240,67 @@ def msa_progressive_refine_native(
         _ptr(joins_arr, ctypes.c_int32),
         _ptr(post_buf, ctypes.c_float), _ptr(post_off, ctypes.c_int64),
         _ptr(post_r, ctypes.c_int32), _ptr(post_c, ctypes.c_int32),
+        _ptr(masks, ctypes.c_uint8), ctypes.c_int32(masks.shape[0] if masks.size else 0),
+        ctypes.c_int32(converge_after),
+        _ptr(out_buf, ctypes.c_uint8), ctypes.c_int32(out_cap),
+        _ptr(out_cols, ctypes.c_int32),
+    )
+    cols = int(out_cols[0])
+    assert cols > 0, "native alignment overflowed its output buffer"
+    return [out_buf[i, :cols].tobytes().decode("latin1") for i in range(n)]
+
+
+def msa_progressive_refine_sparse_native(
+    seqs: list[str],
+    joins: list[tuple[int, int]],
+    sparse_vals: np.ndarray,   # [npair, Lmax, K] f32 (bf16-representable)
+    sparse_idx: np.ndarray,    # [npair, Lmax, K] uint8, 1-based, 0 = pruned
+    lx: np.ndarray,            # [npair] rows actually used per pair
+    masks: np.ndarray,
+    converge_after: int,
+) -> list[str]:
+    """Progressive alignment + refinement consuming the device top-k
+    sparse transport DIRECTLY — no host densification. Bit-identical to
+    msa_progressive_refine_native on the densified posteriors: within a
+    pair every sparse entry hits a distinct BuildPost accumulator cell,
+    so only the (r1, r2) profile-row loop order matters and it is
+    unchanged."""
+    lib = _build_and_load()
+    assert lib is not None
+    n = len(seqs)
+    seq_bytes = [s.encode("latin1") for s in seqs]
+    lens = np.array([len(b) for b in seq_bytes], np.int32)
+    offs = np.zeros(n, np.int64)
+    offs[1:] = np.cumsum(lens[:-1], dtype=np.int64)
+    buf = np.frombuffer(b"".join(seq_bytes), np.uint8).copy()
+
+    joins_arr = np.asarray(joins, np.int32).reshape(-1)
+    npair, Lmax, K = sparse_vals.shape
+    post_r = np.ascontiguousarray(lx, np.int32)
+    # flatten per pair to rows-used x K (contiguous per pair)
+    sv_parts = [np.ascontiguousarray(sparse_vals[p, : post_r[p]], np.float32)
+                for p in range(npair)]
+    si_parts = [np.ascontiguousarray(sparse_idx[p, : post_r[p]], np.uint8)
+                for p in range(npair)]
+    sizes = post_r.astype(np.int64) * K
+    post_off = np.zeros(npair, np.int64)
+    post_off[1:] = np.cumsum(sizes[:-1])
+    sv = (np.concatenate([a.reshape(-1) for a in sv_parts])
+          if npair else np.zeros(0, np.float32))
+    si = (np.concatenate([a.reshape(-1) for a in si_parts])
+          if npair else np.zeros(0, np.uint8))
+
+    masks = np.ascontiguousarray(masks, np.uint8)
+    out_cap = int(lens.sum()) + 8
+    out_buf = np.zeros((n, out_cap), np.uint8)
+    out_cols = np.zeros(1, np.int32)
+    lib.msa_progressive_refine_sp(
+        _ptr(buf, ctypes.c_uint8), _ptr(offs, ctypes.c_int64),
+        _ptr(lens, ctypes.c_int32), ctypes.c_int32(n),
+        _ptr(joins_arr, ctypes.c_int32),
+        _ptr(sv, ctypes.c_float), _ptr(si, ctypes.c_uint8),
+        _ptr(post_off, ctypes.c_int64), _ptr(post_r, ctypes.c_int32),
+        ctypes.c_int32(K),
         _ptr(masks, ctypes.c_uint8), ctypes.c_int32(masks.shape[0] if masks.size else 0),
         ctypes.c_int32(converge_after),
         _ptr(out_buf, ctypes.c_uint8), ctypes.c_int32(out_cap),

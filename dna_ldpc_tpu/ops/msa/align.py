@@ -348,6 +348,7 @@ def align(
     tree_perm: str = "none",
     pair_dists: np.ndarray | None = None,
     use_native: bool = True,
+    pair_posts_sparse=None,
 ) -> list[tuple[int, str]]:
     """Align sequences; returns [(input ordinal, aligned row)] in input
     order. Single sequence passes through unchanged.
@@ -360,6 +361,14 @@ def align(
     required when ``pair_posts`` already had the consistency transform
     applied (EA distances come from the PRE-consistency posteriors,
     mpcflat.cpp CalcPosteriors -> m_DistMx).
+
+    ``pair_posts_sparse`` optionally supplies the posteriors in the
+    device top-k transport form instead: (vals [npair, L, K] f32,
+    idx [npair, L, K] uint8 1-based, lx [npair] rows used). With the
+    native library present they feed BuildPost directly (bit-identical,
+    no densification); otherwise they are densified here. Requires
+    ``pair_dists`` (the consistency transform is assumed applied or
+    skipped upstream).
     """
     n = len(seqs)
     if n == 0:
@@ -367,8 +376,36 @@ def align(
     if n == 1:
         return [(0, seqs[0])]
 
-    # 1. pair posteriors (batched pair HMM, on-device assembly) + EA dists
     pairs = cluster_pairs(n)
+    if pair_posts_sparse is not None:
+        if pair_dists is None:
+            raise ValueError("pair_posts_sparse requires pair_dists")
+        from ... import native_lib
+
+        if use_native and native_lib.available() and consistency_iters == 0:
+            sv, si, slx = pair_posts_sparse
+            joins = permute_join_order(upgma_join_order(pair_dists), tree_perm)
+            if n >= 3 and refine_iters:
+                rng = np.random.default_rng(seed)
+                masks = rng.integers(0, 2, (refine_iters, n)).astype(np.uint8)
+                keep = ~((masks.all(axis=1)) | (~masks.any(axis=1)))
+                masks = masks[keep]
+            else:
+                masks = np.zeros((0, n), np.uint8)
+            rows = native_lib.msa_progressive_refine_sparse_native(
+                seqs, joins, sv, si, slx, masks, converge_after=5
+            )
+            return list(enumerate(rows))
+        # no native library (or consistency still pending): densify
+        from .pairhmm import densify_sparse
+
+        sv, si, slx = pair_posts_sparse
+        pair_posts = [
+            densify_sparse(sv[p], si[p], int(slx[p]), len(seqs[j]))
+            for p, (i, j) in enumerate(pairs)
+        ]
+
+    # 1. pair posteriors (batched pair HMM, on-device assembly) + EA dists
     if pair_posts is None:
         pair_posts = batch_posteriors(
             [seqs[i] for i, _ in pairs], [seqs[j] for _, j in pairs],
@@ -782,22 +819,34 @@ def _align_clusters_fused(
             vals, idx, msup = _consistency_fused(*args, 8)
             bucket_jobs.append((batch, slot_of, args, vals, idx, msup))
 
-    # ---- collect: raw zone ---------------------------------------------
-    raw_flat: dict[int, np.ndarray] = {}
+    # ---- collect: raw zone (kept in the sparse transport form) ---------
+    raw_chunks: dict[int, tuple[np.ndarray, np.ndarray]] = {}
     for ci, vals, idx, msup in raw_jobs:
         k = int(msup)
         if k > 8:  # lossless guard
             vals, idx, _ = _sparsify_post(posts_dev[ci], k)
-        vals = np.asarray(vals, np.float32)
-        idx = np.asarray(idx)
-        for g in range(ci * pair_chunk, min((ci + 1) * pair_chunk, nraw)):
-            p = g - ci * pair_chunk
-            raw_flat[g] = densify_sparse(
-                vals[p], idx[p], int(lx_all[g]), int(ly_all[g])
-            )
+        raw_chunks[ci] = (np.asarray(vals, np.float32), np.asarray(idx))
 
-    # ---- collect: bucket dispatches ------------------------------------
-    transformed: dict[int, list[np.ndarray]] = {}
+    def raw_span_sparse(lo, hi):
+        """Sparse (vals, idx) rows for global raw pairs [lo, hi), padded
+        to a common K across chunk boundaries."""
+        vs, is_ = [], []
+        g = lo
+        while g < hi:
+            ci, off = divmod(g, pair_chunk)
+            take = min(hi - g, pair_chunk - off)
+            cv, cidx = raw_chunks[ci]
+            vs.append(cv[off : off + take])
+            is_.append(cidx[off : off + take])
+            g += take
+        Km = max(v.shape[2] for v in vs)
+        vs = [np.pad(v, ((0, 0), (0, 0), (0, Km - v.shape[2]))) for v in vs]
+        is_ = [np.pad(i, ((0, 0), (0, 0), (0, Km - i.shape[2]))) for i in is_]
+        return np.concatenate(vs), np.concatenate(is_)
+
+    # ---- collect: bucket dispatches (sparse straight to the aligner) ---
+    # transformed[c] = ("sparse", vals, idx, lx) or ("dense", posts list)
+    transformed: dict[int, tuple] = {}
     for batch, slot_of, args, vals, idx, msup in bucket_jobs:
         k = int(msup)
         if k > 8:  # lossless guard; round up to bound recompiles
@@ -805,41 +854,49 @@ def _align_clusters_fused(
             vals, idx, _ = _consistency_fused(*args, k)
         vals = np.asarray(vals, np.float32)
         idx = np.asarray(idx)
-        L = vals.shape[2]
-        rows = np.arange(L)[:, None]
         for bi, c in enumerate(batch):
             seqs = clusters[c]
             n = sizes[c]
-            res = []
-            for pi, (i, j) in enumerate(cluster_pairs(n)):
-                s = slot_of[(i, j)]
-                dense = np.zeros((L, L + 1), np.float32)
-                dense[rows, idx[bi, s].astype(np.int64)] = vals[bi, s]
-                res.append(dense[: len(seqs[i]), 1 : len(seqs[j]) + 1])
-            transformed[c] = res
-    del posts_dev, raw_jobs, bucket_jobs
+            slots = [slot_of[(i, j)] for (i, j) in cluster_pairs(n)]
+            slx = np.array([len(seqs[i]) for i, _ in cluster_pairs(n)], np.int32)
+            transformed[c] = ("sparse", vals[bi, slots], idx[bi, slots], slx)
 
-    # ---- raw clusters: pass-through or host consistency ----------------
+    # ---- raw clusters: sparse pass-through or host consistency ---------
     for c in raw_ids:
         lo, hi = span[c]
-        posts = [raw_flat[g] for g in range(lo, hi)]
         n = sizes[c]
         if consistency_iters and n > N_BUCKETS[-1]:
-            posts = _consistency_host(posts, n, consistency_iters)
-        transformed[c] = posts
+            # host consistency needs dense posts (rare: n > max bucket)
+            sv, si = raw_span_sparse(lo, hi)
+            posts = [
+                densify_sparse(sv[g - lo], si[g - lo], int(lx_all[g]), int(ly_all[g]))
+                for g in range(lo, hi)
+            ]
+            transformed[c] = ("dense", _consistency_host(posts, n, consistency_iters))
+        else:
+            sv, si = raw_span_sparse(lo, hi)
+            slx = lx_all[lo:hi]
+            transformed[c] = ("sparse", sv, si, slx)
+    del posts_dev, raw_jobs, bucket_jobs, raw_chunks
 
     # ---- 5. tree + progressive + refine per cluster --------------------
     if n_workers is None:
         n_workers = min(8, os.cpu_count() or 1)
 
     def align_one(c):
+        entry = transformed.get(c)
+        kw = {}
+        if entry is not None and entry[0] == "sparse":
+            kw["pair_posts_sparse"] = (entry[1], entry[2], entry[3])
+        elif entry is not None:
+            kw["pair_posts"] = entry[1]
         return align(
             clusters[c],
             refine_iters=refine_iters,
             consistency_iters=0,  # applied above (or skipped: n < 3)
             seed=seed,
-            pair_posts=transformed.get(c),
             pair_dists=dists[c],
+            **kw,
         )
 
     with ThreadPoolExecutor(max_workers=n_workers) as pool:

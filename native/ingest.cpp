@@ -305,10 +305,57 @@ struct PairPosts {
     int idx(int a, int b) const { return a * n - a * (a + 1) / 2 + (b - a - 1); }
 };
 
+// Top-k sparse pair posteriors (the device transport form): per pair,
+// rows[pi] rows of K slots each, vals f32 + 1-based uint8 column indices
+// with 0 marking pruned slots. Each (row, surviving col) cell hits a
+// DISTINCT accumulator in BuildPost (cols1/cols2 are strictly
+// increasing), so sparse accumulation is bit-identical to the dense
+// loop — the only order that matters, the (r1, r2) profile-row loops,
+// is unchanged.
+struct SparsePairPosts {
+    const float* vals;
+    const uint8_t* idx;
+    const int64_t* off;      // per pair, in ELEMENTS (rows[pi] * K)
+    const int32_t* rows;
+    int K;
+    int n;
+    int pidx(int a, int b) const { return a * n - a * (a + 1) / 2 + (b - a - 1); }
+};
+
 static void pos_to_col(const std::vector<uint8_t>& row, std::vector<int>& out) {
     out.clear();
     for (int c = 0; c < (int)row.size(); ++c)
         if (row[c] != GAPC) out.push_back(c);
+}
+
+// MEA path over a computed profile posterior + gap insertion (the tail
+// of AlignAlns, shared by the dense and sparse BuildPost variants)
+static Profile merge_with_post(const Profile& p1, const Profile& p2,
+                               const std::vector<float>& post) {
+    const int c1 = (int)p1.rows[0].size();
+    const int c2 = (int)p2.rows[0].size();
+    std::string path;
+    mea_path(post.data(), c1, c2, path);
+
+    Profile out;
+    out.ids = p1.ids;
+    out.ids.insert(out.ids.end(), p2.ids.begin(), p2.ids.end());
+    out.rows.reserve(out.ids.size());
+    for (size_t r = 0; r < p1.rows.size(); ++r) {
+        std::vector<uint8_t> nr(path.size());
+        size_t p = 0;
+        for (size_t k = 0; k < path.size(); ++k)
+            nr[k] = (path[k] == 'B' || path[k] == 'X') ? p1.rows[r][p++] : GAPC;
+        out.rows.push_back(std::move(nr));
+    }
+    for (size_t r = 0; r < p2.rows.size(); ++r) {
+        std::vector<uint8_t> nr(path.size());
+        size_t p = 0;
+        for (size_t k = 0; k < path.size(); ++k)
+            nr[k] = (path[k] == 'B' || path[k] == 'Y') ? p2.rows[r][p++] : GAPC;
+        out.rows.push_back(std::move(nr));
+    }
+    return out;
 }
 
 // profile-profile posterior + MEA + gap insertion (AlignAlns/BuildPost)
@@ -346,28 +393,58 @@ static Profile align_profiles(const Profile& p1, const Profile& p2,
             }
         }
     }
-    std::string path;
-    mea_path(post.data(), c1, c2, path);
+    return merge_with_post(p1, p2, post);
+}
 
-    Profile out;
-    out.ids = p1.ids;
-    out.ids.insert(out.ids.end(), p2.ids.begin(), p2.ids.end());
-    out.rows.reserve(out.ids.size());
-    for (size_t r = 0; r < p1.rows.size(); ++r) {
-        std::vector<uint8_t> nr(path.size());
-        size_t p = 0;
-        for (size_t k = 0; k < path.size(); ++k)
-            nr[k] = (path[k] == 'B' || path[k] == 'X') ? p1.rows[r][p++] : GAPC;
-        out.rows.push_back(std::move(nr));
+// sparse-transport variant of BuildPost: same accumulation cells, same
+// (r1, r2) loop order, entries iterated from the top-k slots
+static Profile align_profiles_sp(const Profile& p1, const Profile& p2,
+                                 const SparsePairPosts& spp) {
+    const int c1 = (int)p1.rows[0].size();
+    const int c2 = (int)p2.rows[0].size();
+    std::vector<float> post((size_t)c1 * c2, 0.0f);
+    std::vector<int> cols1, cols2;
+    const int K = spp.K;
+    for (size_t r1 = 0; r1 < p1.rows.size(); ++r1) {
+        int s1 = p1.ids[r1];
+        pos_to_col(p1.rows[r1], cols1);
+        for (size_t r2 = 0; r2 < p2.rows.size(); ++r2) {
+            int s2 = p2.ids[r2];
+            pos_to_col(p2.rows[r2], cols2);
+            if (s1 < s2) {
+                int pi = spp.pidx(s1, s2);
+                const float* V = spp.vals + spp.off[pi];
+                const uint8_t* I = spp.idx + spp.off[pi];
+                for (size_t a = 0; a < cols1.size(); ++a) {
+                    float* dst = post.data() + (size_t)cols1[a] * c2;
+                    const float* vr = V + (int64_t)a * K;
+                    const uint8_t* ir = I + (int64_t)a * K;
+                    for (int k = 0; k < K; ++k) {
+                        int b = (int)ir[k] - 1;  // 1-based, 0 = pruned
+                        if (b >= 0 && b < (int)cols2.size())
+                            dst[cols2[b]] += vr[k];
+                    }
+                }
+            } else {
+                int pi = spp.pidx(s2, s1);
+                const float* V = spp.vals + spp.off[pi];
+                const uint8_t* I = spp.idx + spp.off[pi];
+                // transposed: P's rows are s2 positions (b side), its
+                // sparse columns are s1 positions (a side)
+                for (size_t b = 0; b < cols2.size(); ++b) {
+                    const float* vr = V + (int64_t)b * K;
+                    const uint8_t* ir = I + (int64_t)b * K;
+                    int dc = cols2[b];
+                    for (int k = 0; k < K; ++k) {
+                        int a = (int)ir[k] - 1;
+                        if (a >= 0 && a < (int)cols1.size())
+                            post[(size_t)cols1[a] * c2 + dc] += vr[k];
+                    }
+                }
+            }
+        }
     }
-    for (size_t r = 0; r < p2.rows.size(); ++r) {
-        std::vector<uint8_t> nr(path.size());
-        size_t p = 0;
-        for (size_t k = 0; k < path.size(); ++k)
-            nr[k] = (path[k] == 'B' || path[k] == 'Y') ? p2.rows[r][p++] : GAPC;
-        out.rows.push_back(std::move(nr));
-    }
-    return out;
+    return merge_with_post(p1, p2, post);
 }
 
 // subset rows by id set and drop all-gap columns (MultiSequence::Project).
@@ -405,17 +482,19 @@ static Profile project(const Profile& p, const std::vector<char>& take_id) {
 
 extern "C" {
 
-void msa_progressive_refine(
+static void run_progressive_refine(
     const uint8_t* seq_buf, const int64_t* seq_off, const int32_t* seq_len,
     int32_t n,
-    const int32_t* joins,                // [(n-1)*2] node ids
-    const float* post_buf, const int64_t* post_off,
-    const int32_t* post_r, const int32_t* post_c,
+    const int32_t* joins,
+    const msa::PairPosts* pp, const msa::SparsePairPosts* spp,
     const uint8_t* masks, int32_t n_masks, int32_t converge_after,
     uint8_t* out_buf, int32_t out_cap, int32_t* out_cols)
 {
     using msa::Profile;
-    msa::PairPosts pp{post_buf, post_off, post_r, post_c, (int)n};
+    auto merge = [&](const Profile& a, const Profile& b) {
+        return spp ? msa::align_profiles_sp(a, b, *spp)
+                   : msa::align_profiles(a, b, *pp);
+    };
 
     std::vector<Profile> nodes(2 * n - 1);
     for (int i = 0; i < n; ++i) {
@@ -424,7 +503,7 @@ void msa_progressive_refine(
     }
     for (int k = 0; k < n - 1; ++k) {
         int a = joins[2 * k], b = joins[2 * k + 1];
-        nodes[n + k] = msa::align_profiles(nodes[a], nodes[b], pp);
+        nodes[n + k] = merge(nodes[a], nodes[b]);
         nodes[a] = Profile();  // release
         nodes[b] = Profile();
     }
@@ -439,7 +518,7 @@ void msa_progressive_refine(
         Profile p1 = msa::project(final_p, take);
         for (int i = 0; i < n; ++i) take[i] = !take[i];
         Profile p2 = msa::project(final_p, take);
-        Profile next = msa::align_profiles(p1, p2, pp);
+        Profile next = merge(p1, p2);
         // compare with previous by seq id
         bool same = next.rows[0].size() == final_p.rows[0].size();
         if (same) {
@@ -459,6 +538,40 @@ void msa_progressive_refine(
         std::memcpy(out_buf + (size_t)final_p.ids[r] * out_cap,
                     final_p.rows[r].data(), cols);
     }
+}
+
+
+void msa_progressive_refine(
+    const uint8_t* seq_buf, const int64_t* seq_off, const int32_t* seq_len,
+    int32_t n,
+    const int32_t* joins,                // [(n-1)*2] node ids
+    const float* post_buf, const int64_t* post_off,
+    const int32_t* post_r, const int32_t* post_c,
+    const uint8_t* masks, int32_t n_masks, int32_t converge_after,
+    uint8_t* out_buf, int32_t out_cap, int32_t* out_cols)
+{
+    msa::PairPosts pp{post_buf, post_off, post_r, post_c, (int)n};
+    run_progressive_refine(seq_buf, seq_off, seq_len, n, joins, &pp, nullptr,
+                           masks, n_masks, converge_after,
+                           out_buf, out_cap, out_cols);
+}
+
+// sparse-transport entry: pair posteriors arrive in the device top-k
+// form (vals f32 + 1-based uint8 column indices, 0 = pruned; row stride
+// K) - no host densification at all
+void msa_progressive_refine_sp(
+    const uint8_t* seq_buf, const int64_t* seq_off, const int32_t* seq_len,
+    int32_t n,
+    const int32_t* joins,
+    const float* sv, const uint8_t* si, const int64_t* post_off,
+    const int32_t* post_r, int32_t K,
+    const uint8_t* masks, int32_t n_masks, int32_t converge_after,
+    uint8_t* out_buf, int32_t out_cap, int32_t* out_cols)
+{
+    msa::SparsePairPosts spp{sv, si, post_off, post_r, (int)K, (int)n};
+    run_progressive_refine(seq_buf, seq_off, seq_len, n, joins, nullptr, &spp,
+                           masks, n_masks, converge_after,
+                           out_buf, out_cap, out_cols);
 }
 
 }  // extern "C"

@@ -97,3 +97,57 @@ def test_native_align_matches_python_path():
         nat = align(seqs, use_native=True)
         py = align(seqs, use_native=False)
         assert nat == py
+
+
+def test_native_sparse_posts_match_dense():
+    """msa_progressive_refine_sp (sparse top-k transport, no host
+    densification) must be bit-identical to the dense-posterior entry:
+    within a pair every sparse entry hits a distinct BuildPost cell, so
+    only the unchanged profile-row loop order affects f32 sums."""
+    import os
+
+    from dna_ldpc_tpu.ops.msa.align import align, cluster_pairs, upgma_join_order
+    from dna_ldpc_tpu.ops.msa.pairhmm import batch_posteriors_sparse, densify_sparse
+
+    os.environ.setdefault("DNA_LDPC_PAIRHMM", "xla")
+    rng = random.Random(23)
+
+    def mutate(s, k):
+        b = list(s)
+        for _ in range(k):
+            op = rng.randrange(3)
+            if op == 0:
+                b[rng.randrange(len(b))] = rng.choice("ACGT")
+            elif op == 1 and len(b) > 2:
+                del b[rng.randrange(len(b))]
+            else:
+                b.insert(rng.randrange(len(b)), rng.choice("ACGT"))
+        return "".join(b)
+
+    for n, L in ((3, 50), (5, 90)):
+        base = "".join(rng.choice("ACGT") for _ in range(L))
+        seqs = [base] + [mutate(base, rng.randint(1, 3)) for _ in range(n - 1)]
+        pairs = cluster_pairs(n)
+        sv, si, lxs, lys, _L = batch_posteriors_sparse(
+            [seqs[i] for i, _ in pairs], [seqs[j] for _, j in pairs]
+        )
+        posts = [
+            densify_sparse(sv[p], si[p], int(lxs[p]), int(lys[p]))
+            for p in range(len(pairs))
+        ]
+        # EA distances from the same posteriors (align() formula)
+        from dna_ldpc_tpu.ops.msa.align import mea_score
+
+        dist = np.zeros((n, n))
+        for p, (i, j) in enumerate(pairs):
+            ea = mea_score(posts[p]) / min(len(seqs[i]), len(seqs[j]))
+            dist[i, j] = dist[j, i] = 1.0 - min(max(ea, 0.0), 1.0)
+
+        dense_rows = align(
+            seqs, consistency_iters=0, pair_posts=posts, pair_dists=dist
+        )
+        sparse_rows = align(
+            seqs, consistency_iters=0,
+            pair_posts_sparse=(sv, si, lxs.astype(np.int32)), pair_dists=dist,
+        )
+        assert dense_rows == sparse_rows
