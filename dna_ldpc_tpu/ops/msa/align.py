@@ -719,6 +719,10 @@ def _align_clusters_fused(
 
     n_cl = len(clusters)
     sizes = [len(c) for c in clusters]
+    # every bucket dispatch's pair range must fit a 2-chunk device window
+    # (ids are window-local), so the chunk must hold the largest bucket's
+    # C(16,2) = 120 pairs
+    pair_chunk = max(pair_chunk, N_BUCKETS[-1] * (N_BUCKETS[-1] - 1) // 2)
 
     # ---- 1. processing order: raw zone, then buckets -------------------
     raw_ids: list[int] = []

@@ -68,7 +68,7 @@ from .pairhmm import (
     JX,
     JY,
     START,
-    encode_seq,
+    _ENCODE_TABLE,
     nucleo_params,
 )
 
@@ -352,11 +352,17 @@ def encode_batch_pallas(seqs_x, seqs_y, Lmax: int | None = None):
     Pb = max(P_TILE, _round_up(P, P_TILE))
     D = 2 * Lmax
 
+    # vectorized 1-based code packing: byte matrix -> code table lookup,
+    # pad cells already map to wildcard 4
+    from ...utils.dna import seqs_to_matrix
+
     Xc = np.full((Pb, Wp), 4, np.int32)
     Yc = np.full((Pb, Wp), 4, np.int32)
-    for p in range(P):
-        Xc[p, 1 : lx[p] + 1] = encode_seq(seqs_x[p])
-        Yc[p, 1 : ly[p] + 1] = encode_seq(seqs_y[p])
+    if P:
+        mx = seqs_to_matrix(seqs_x, pad=Lmax)
+        my = seqs_to_matrix(seqs_y, pad=Lmax)
+        Xc[:P, 1 : Lmax + 1] = _ENCODE_TABLE[mx]
+        Yc[:P, 1 : Lmax + 1] = _ENCODE_TABLE[my]
 
     # yb[w] = y[D + 2 - w] (wildcard where out of range)
     Yb = np.full((Pb, Wp), 4, np.int32)
