@@ -162,8 +162,6 @@ def sliding_window_bec(
     concurrent segment waves, batched on the TPU batch axis). _TWO_CROSS
     and _TWO_INDI differ from _TWO only in commit bookkeeping and share
     its recursion."""
-    import jax.numpy as jnp
-
     values = np.atleast_2d(np.asarray(values, np.int8))
     B = values.shape[0]
     w, b_v, L = chain.w, chain.b_v, chain.L
