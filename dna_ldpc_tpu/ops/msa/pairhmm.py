@@ -474,7 +474,11 @@ def batch_posteriors(
     if transport == "auto":
         probe_L = Lmax
         if probe_L is None:
-            probe_L = max((len(s) for s in list(seqs_x) + list(seqs_y)), default=1)
+            # round exactly like _encode_batch/encode_batch_pallas do, or
+            # a raw length of e.g. 250 would probe "sparse" while the
+            # padded Lmax of 256 exceeds the uint8 index range
+            raw = max((len(s) for s in list(seqs_x) + list(seqs_y)), default=1)
+            probe_L = max(32, -(-raw // 32) * 32)
         transport = "sparse" if probe_L <= 255 else "dense"
     if transport == "sparse":
         vals, idx, lx, ly, Lmax = batch_posteriors_sparse(
