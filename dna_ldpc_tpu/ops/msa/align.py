@@ -754,6 +754,11 @@ def _align_clusters_fused(
     # ---- 2. pair-HMM chunks, all padded to pair_chunk ------------------
     maxlen = max((len(s) for s in all_x + all_y), default=1)
     Lmax = max(32, -(-maxlen // 32) * 32)
+    if Lmax > 255:
+        raise ValueError(
+            "the fused align_clusters flow uses the uint8 sparse transport "
+            f"(Lmax <= 255); got padded Lmax={Lmax}"
+        )
     posts_dev = []
     ea_parts = []
     for lo in range(0, max(ntot, 1), pair_chunk):
