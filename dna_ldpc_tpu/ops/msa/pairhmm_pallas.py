@@ -44,6 +44,12 @@ Design notes (why this shape):
   per step (the insert value comes from a lane-select + sum reduction —
   no dynamic-lane addressing).
 
+A THIRD phase then sweeps the just-written posterior plane with the MEA
+max-DP (CalcAlnScoreFlat) over bf16-rounded values, so per-pair EA
+alignment scores leave the chip as [P] scalars, bitwise-equal to host
+mea_score() on the sparse-transport posteriors — the EA distance matrix
+costs no posterior download at all.
+
 Output is the posterior in diagonal layout [2L+1, P, W'] (cell (i, j) at
 [i+j, p, i]); a cheap XLA gather re-packs it to [P, Lmax, Lmax] compact
 form identical to ``pairhmm._posteriors_device``'s.
