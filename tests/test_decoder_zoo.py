@@ -370,3 +370,22 @@ def test_bec_sw_oc_concurrent_segments():
         sliding_window_bec_oc(chain, vals2.copy(), W=4, eta=2, iters=60)
         == sliding_window_bec(chain, vals2.copy(), W=4, iters=60)
     ).all()
+
+
+def test_bec_sw_oc_batched_frames():
+    """_OC's batched peel must treat batch rows independently: a batch of
+    two frames (one clean-run, one with erasures) gives the same outputs
+    as decoding each frame alone."""
+    from dna_ldpc_tpu.ops.scldpc import sliding_window_bec_oc
+
+    chain = _one_way_chain(20)
+    v0 = np.zeros((1, chain.n_vars), np.int8)
+    v1 = np.zeros((1, chain.n_vars), np.int8)
+    for t in range(12, 17):
+        v1[0, 2 * t] = ERASE_MARK
+    both = np.concatenate([v0, v1], axis=0)
+    out = sliding_window_bec_oc(chain, both.copy(), W=4, eta=2, iters=60)
+    o0 = sliding_window_bec_oc(chain, v0.copy(), W=4, eta=2, iters=60)
+    o1 = sliding_window_bec_oc(chain, v1.copy(), W=4, eta=2, iters=60)
+    assert (out[0] == o0[0]).all()
+    assert (out[1] == o1[0]).all()

@@ -95,3 +95,48 @@ def test_fused_align_clusters_matches_per_cluster_align(monkeypatch):
     )
     single = [align(cl, refine_iters=10) for cl in clusters]
     assert fused == single
+
+
+def test_fused_align_clusters_no_consistency(monkeypatch):
+    """consistency_iters=0 routes every cluster through the raw zone of
+    the fused flow; results must still match per-cluster align()."""
+    monkeypatch.setenv("DNA_LDPC_PAIRHMM", "pallas")
+    import numpy as np
+
+    from dna_ldpc_tpu.ops.msa.align import align, _align_clusters_fused
+
+    rng = np.random.default_rng(21)
+
+    def noisy(s, nd):
+        b = list(s)
+        for _ in range(nd):
+            del b[rng.integers(0, len(b))]
+        return "".join(b)
+
+    clusters = []
+    for n in (2, 4, 3):
+        s = "".join("ACGT"[i] for i in rng.integers(0, 4, 30))
+        clusters.append([s] + [noisy(s, int(rng.integers(1, 3))) for _ in range(n - 1)])
+
+    fused = _align_clusters_fused(
+        clusters, refine_iters=5, consistency_iters=0, seed=0,
+        pair_chunk=128, n_workers=2,
+    )
+    single = [align(cl, refine_iters=5, consistency_iters=0) for cl in clusters]
+    assert fused == single
+
+
+def test_fused_align_clusters_overflow_cluster(monkeypatch):
+    """A homopolymer cluster whose posterior rows overflow top-8 must
+    round-trip losslessly through the fused raw zone (the per-chunk
+    guard widens K) and still match per-cluster align()."""
+    monkeypatch.setenv("DNA_LDPC_PAIRHMM", "pallas")
+    from dna_ldpc_tpu.ops.msa.align import align, _align_clusters_fused
+
+    clusters = [["A" * 20, "A" * 30]]  # support 13 > 8 (raw zone, n=2)
+    fused = _align_clusters_fused(
+        clusters, refine_iters=5, consistency_iters=2, seed=0,
+        pair_chunk=128, n_workers=1,
+    )
+    single = [align(cl, refine_iters=5) for cl in clusters]
+    assert fused == single
