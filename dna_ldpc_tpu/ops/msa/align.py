@@ -721,8 +721,11 @@ def _align_clusters_fused(
     sizes = [len(c) for c in clusters]
     # every bucket dispatch's pair range must fit a 2-chunk device window
     # (ids are window-local), so the chunk must hold the largest bucket's
-    # C(16,2) = 120 pairs
+    # C(16,2) = 120 pairs; and it must be a multiple of the kernel's
+    # 8-pair tile or the device chunk tensors would be padded wider than
+    # the window arithmetic assumes
     pair_chunk = max(pair_chunk, N_BUCKETS[-1] * (N_BUCKETS[-1] - 1) // 2)
+    pair_chunk = -(-pair_chunk // 8) * 8
 
     # ---- 1. processing order: raw zone, then buckets -------------------
     raw_ids: list[int] = []
