@@ -140,3 +140,33 @@ def test_fused_align_clusters_overflow_cluster(monkeypatch):
     )
     single = [align(cl, refine_iters=5) for cl in clusters]
     assert fused == single
+
+
+def test_fused_align_clusters_odd_pair_chunk(monkeypatch):
+    """A pair_chunk that is not a multiple of the kernel's 8-pair tile
+    must be rounded up internally (the device chunk tensors are padded
+    to the tile, and the window arithmetic must agree)."""
+    monkeypatch.setenv("DNA_LDPC_PAIRHMM", "pallas")
+    import numpy as np
+
+    from dna_ldpc_tpu.ops.msa.align import align, _align_clusters_fused
+
+    rng = np.random.default_rng(31)
+
+    def noisy(s, nd):
+        b = list(s)
+        for _ in range(nd):
+            del b[rng.integers(0, len(b))]
+        return "".join(b)
+
+    clusters = []
+    for n in (3, 4, 2, 5):
+        s = "".join("ACGT"[i] for i in rng.integers(0, 4, 24))
+        clusters.append([s] + [noisy(s, int(rng.integers(1, 3))) for _ in range(n - 1)])
+
+    fused = _align_clusters_fused(
+        clusters, refine_iters=5, consistency_iters=2, seed=0,
+        pair_chunk=130, n_workers=2,   # not a multiple of 8
+    )
+    single = [align(cl, refine_iters=5) for cl in clusters]
+    assert fused == single
