@@ -754,7 +754,12 @@ def _align_clusters_fused(
     ntot = len(all_x)
     nraw = span[raw_ids[-1]][1] if raw_ids else 0
 
-    # ---- 2. pair-HMM chunks, all padded to pair_chunk ------------------
+    # ---- 2-4. memory-bounded device pipeline ---------------------------
+    # Chunk posteriors are LAZY and freed behind the dispatch frontier:
+    # the pair layout makes every dispatch's 2-chunk window ascend
+    # monotonically, so at most MAX_LIVE chunks (~1.9 GB at Lmax=160)
+    # are device-resident regardless of trial size — a double-coverage
+    # (140k-read) trial exhausted HBM when all chunks stayed alive.
     maxlen = max((len(s) for s in all_x + all_y), default=1)
     Lmax = max(32, -(-maxlen // 32) * 32)
     if Lmax > 255:
@@ -762,57 +767,27 @@ def _align_clusters_fused(
             "the fused align_clusters flow uses the uint8 sparse transport "
             f"(Lmax <= 255); got padded Lmax={Lmax}"
         )
-    posts_dev = []
-    ea_parts = []
-    for lo in range(0, max(ntot, 1), pair_chunk):
-        cx = list(all_x[lo : lo + pair_chunk])
-        cy = list(all_y[lo : lo + pair_chunk])
-        npad = pair_chunk - len(cx)
-        cx += [""] * npad
-        cy += [""] * npad
-        post, ea, _lx, _ly, _L = batch_post_ea_pallas(cx, cy, Lmax)
-        posts_dev.append(post)
-        ea_parts.append(ea)
-    ea_all = np.concatenate([np.asarray(e) for e in ea_parts])[: max(ntot, 1)]
-
-    # ---- EA distances (FixEADistMx) ------------------------------------
-    dists: dict[int, np.ndarray] = {}
-    for c in range(n_cl):
-        seqs = clusters[c]
-        n = len(seqs)
-        d = np.zeros((n, n), dtype=np.float64)
-        if n >= 2:
-            lo = span[c][0]
-            for p, (i, j) in enumerate(cluster_pairs(n)):
-                ea = float(ea_all[lo + p]) / min(len(seqs[i]), len(seqs[j]))
-                d[i, j] = d[j, i] = 1.0 - min(max(ea, 0.0), 1.0)
-        dists[c] = d
-
-    # ---- 3+4. raw-zone sparsify + bucket dispatches, ALL issued async --
-    # every device call is dispatched before anything is collected, so
-    # the relay transfers and device compute of later dispatches overlap
-    # the host-side densification of earlier ones
     lx_all = np.array([len(s) for s in all_x], np.int32)
     ly_all = np.array([len(s) for s in all_y], np.int32)
-    raw_jobs = []  # (ci, vals_dev, idx_dev, msup_dev)
+    n_chunks = max(1, -(-ntot // pair_chunk))
+    MAX_LIVE = 8
+
+    # host-side dispatch plan, in ascending window order (the order of
+    # ``ordered``): raw-zone chunk sparsifications, then bucket batches
+    plan: list[tuple] = []
     if nraw:
         for ci in range(-(-nraw // pair_chunk)):
-            vals, idx, msup = _sparsify_post(posts_dev[ci], 8)
-            raw_jobs.append((ci, vals, idx, msup))
-
-    bucket_jobs = []  # (batch, slot_of, npair_b, args, vals, idx, msup)
+            plan.append(("raw", ci))
     for nb in sorted(groups):
         members = groups[nb]
         npair_b = nb * (nb - 1) // 2
         ii_b, jj_b = np.triu_indices(nb, k=1)
-        slot_of = {(int(a), int(b)): s for s, (a, b) in enumerate(zip(ii_b, jj_b))}
+        slot_of = {(int(a), int(b)): sl for sl, (a, b) in enumerate(zip(ii_b, jj_b))}
         C_b = max(1, pair_chunk // npair_b)
         for mlo in range(0, len(members), C_b):
             batch = members[mlo : mlo + C_b]
             g0 = span[batch[0]][0]
             w = g0 // pair_chunk
-            chunkA = posts_dev[w]
-            chunkB = posts_dev[w + 1] if w + 1 < len(posts_dev) else posts_dev[w]
             ids = np.zeros(C_b * npair_b, np.int32)
             mask = np.zeros(C_b * npair_b, bool)
             inv_n = np.ones(C_b, np.float32)
@@ -821,23 +796,82 @@ def _align_clusters_fused(
                 inv_n[bi] = 1.0 / n
                 lo_c = span[c][0]
                 for pi, (i, j) in enumerate(cluster_pairs(n)):
-                    s = bi * npair_b + slot_of[(i, j)]
-                    ids[s] = lo_c + pi - w * pair_chunk
-                    mask[s] = True
+                    sl = bi * npair_b + slot_of[(i, j)]
+                    ids[sl] = lo_c + pi - w * pair_chunk
+                    mask[sl] = True
+            plan.append(("bucket", batch, slot_of, ids, mask, inv_n, nb, w))
+
+    chunk_cache: dict[int, object] = {}
+    ea_arr = np.zeros(max(ntot, 1), np.float32)
+
+    def get_chunk(ci):
+        if ci in chunk_cache:
+            return chunk_cache[ci]
+        lo = ci * pair_chunk
+        cx = list(all_x[lo : lo + pair_chunk])
+        cy = list(all_y[lo : lo + pair_chunk])
+        npad = pair_chunk - len(cx)
+        cx += [""] * npad
+        cy += [""] * npad
+        post, ea, _lx, _ly, _L = batch_post_ea_pallas(cx, cy, Lmax)
+        take = max(0, min(pair_chunk, ntot - lo))
+        if take:
+            ea_arr[lo : lo + take] = np.asarray(ea)[:take]
+        chunk_cache[ci] = post
+        return post
+
+    raw_chunks: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    # transformed[c] = ("sparse", vals, idx, lx) or ("dense", posts list)
+    transformed: dict[int, tuple] = {}
+    pending: list[tuple] = []
+
+    def collect_pending():
+        for item in pending:
+            if item[0] == "raw":
+                _, ci, vals, idx, msup = item
+                k = int(msup)
+                if k > 8:  # lossless guard
+                    vals, idx, _ = _sparsify_post(chunk_cache[ci], k)
+                raw_chunks[ci] = (np.asarray(vals, np.float32), np.asarray(idx))
+                continue
+            _, batch, slot_of, args, vals, idx, msup = item
+            k = int(msup)
+            if k > 8:  # lossless guard; round up to bound recompiles
+                k = -(-k // 8) * 8
+                vals, idx, _ = _consistency_fused(*args, k)
+            vals = np.asarray(vals, np.float32)
+            idx = np.asarray(idx)
+            for bi, c in enumerate(batch):
+                seqs = clusters[c]
+                n = sizes[c]
+                slots = [slot_of[(i, j)] for (i, j) in cluster_pairs(n)]
+                slx = np.array([len(seqs[i]) for i, _ in cluster_pairs(n)], np.int32)
+                transformed[c] = ("sparse", vals[bi, slots], idx[bi, slots], slx)
+        pending.clear()
+
+    for d in plan:
+        if d[0] == "raw":
+            ci = d[1]
+            vals, idx, msup = _sparsify_post(get_chunk(ci), 8)
+            pending.append(("raw", ci, vals, idx, msup))
+            w_cur = ci
+        else:
+            _, batch, slot_of, ids, mask, inv_n, nb, w = d
+            chunkA = get_chunk(w)
+            chunkB = get_chunk(w + 1) if w + 1 < n_chunks else chunkA
             args = (
                 chunkA, chunkB, jnp.asarray(ids), jnp.asarray(mask),
                 jnp.asarray(inv_n), nb, consistency_iters,
             )
             vals, idx, msup = _consistency_fused(*args, 8)
-            bucket_jobs.append((batch, slot_of, args, vals, idx, msup))
-
-    # ---- collect: raw zone (kept in the sparse transport form) ---------
-    raw_chunks: dict[int, tuple[np.ndarray, np.ndarray]] = {}
-    for ci, vals, idx, msup in raw_jobs:
-        k = int(msup)
-        if k > 8:  # lossless guard
-            vals, idx, _ = _sparsify_post(posts_dev[ci], k)
-        raw_chunks[ci] = (np.asarray(vals, np.float32), np.asarray(idx))
+            pending.append(("bucket", batch, slot_of, args, vals, idx, msup))
+            w_cur = w
+        if len(chunk_cache) > MAX_LIVE:
+            collect_pending()  # before eviction: overflow redos need the chunks
+            for ci in [k for k in list(chunk_cache) if k < w_cur]:
+                del chunk_cache[ci]
+    collect_pending()
+    chunk_cache.clear()
 
     def raw_span_sparse(lo, hi):
         """Sparse (vals, idx) rows for global raw pairs [lo, hi), padded
@@ -856,22 +890,18 @@ def _align_clusters_fused(
         is_ = [np.pad(i, ((0, 0), (0, 0), (0, Km - i.shape[2]))) for i in is_]
         return np.concatenate(vs), np.concatenate(is_)
 
-    # ---- collect: bucket dispatches (sparse straight to the aligner) ---
-    # transformed[c] = ("sparse", vals, idx, lx) or ("dense", posts list)
-    transformed: dict[int, tuple] = {}
-    for batch, slot_of, args, vals, idx, msup in bucket_jobs:
-        k = int(msup)
-        if k > 8:  # lossless guard; round up to bound recompiles
-            k = -(-k // 8) * 8
-            vals, idx, _ = _consistency_fused(*args, k)
-        vals = np.asarray(vals, np.float32)
-        idx = np.asarray(idx)
-        for bi, c in enumerate(batch):
-            seqs = clusters[c]
-            n = sizes[c]
-            slots = [slot_of[(i, j)] for (i, j) in cluster_pairs(n)]
-            slx = np.array([len(seqs[i]) for i, _ in cluster_pairs(n)], np.int32)
-            transformed[c] = ("sparse", vals[bi, slots], idx[bi, slots], slx)
+    # ---- EA distances (FixEADistMx) ------------------------------------
+    dists: dict[int, np.ndarray] = {}
+    for c in range(n_cl):
+        seqs = clusters[c]
+        n = len(seqs)
+        d = np.zeros((n, n), dtype=np.float64)
+        if n >= 2:
+            lo = span[c][0]
+            for p, (i, j) in enumerate(cluster_pairs(n)):
+                ea = float(ea_arr[lo + p]) / min(len(seqs[i]), len(seqs[j]))
+                d[i, j] = d[j, i] = 1.0 - min(max(ea, 0.0), 1.0)
+        dists[c] = d
 
     # ---- raw clusters: sparse pass-through or host consistency ---------
     for c in raw_ids:
@@ -887,9 +917,8 @@ def _align_clusters_fused(
             transformed[c] = ("dense", _consistency_host(posts, n, consistency_iters))
         else:
             sv, si = raw_span_sparse(lo, hi)
-            slx = lx_all[lo:hi]
-            transformed[c] = ("sparse", sv, si, slx)
-    del posts_dev, raw_jobs, bucket_jobs, raw_chunks
+            transformed[c] = ("sparse", sv, si, lx_all[lo:hi])
+    del raw_chunks
 
     # ---- 5. tree + progressive + refine per cluster --------------------
     if n_workers is None:
