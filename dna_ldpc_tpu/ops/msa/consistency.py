@@ -46,7 +46,7 @@ import numpy as np
 
 from .pairhmm import MIN_SPARSE_PROB
 
-N_BUCKETS = (3, 4, 6, 8, 12, 16)
+N_BUCKETS = (3, 4, 6, 8, 12, 16, 24, 32)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3))

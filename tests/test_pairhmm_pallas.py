@@ -170,3 +170,35 @@ def test_fused_align_clusters_odd_pair_chunk(monkeypatch):
     )
     single = [align(cl, refine_iters=5) for cl in clusters]
     assert fused == single
+
+
+def test_fused_align_clusters_host_consistency_fallback(monkeypatch):
+    """Clusters above the largest device bucket take the dense host
+    consistency branch; force it with a tiny bucket list so the branch
+    is exercised without a 33-sequence cluster."""
+    monkeypatch.setenv("DNA_LDPC_PAIRHMM", "pallas")
+    import numpy as np
+
+    import dna_ldpc_tpu.ops.msa.consistency as cm
+    from dna_ldpc_tpu.ops.msa.align import align, _align_clusters_fused
+
+    monkeypatch.setattr(cm, "N_BUCKETS", (3, 4))
+    rng = np.random.default_rng(41)
+
+    def noisy(s, nd):
+        b = list(s)
+        for _ in range(nd):
+            del b[rng.integers(0, len(b))]
+        return "".join(b)
+
+    clusters = []
+    for n in (6, 3, 2):  # 6 > max bucket 4 -> host consistency
+        s = "".join("ACGT"[i] for i in rng.integers(0, 4, 24))
+        clusters.append([s] + [noisy(s, int(rng.integers(1, 3))) for _ in range(n - 1)])
+
+    fused = _align_clusters_fused(
+        clusters, refine_iters=5, consistency_iters=2, seed=0,
+        pair_chunk=128, n_workers=2,
+    )
+    single = [align(cl, refine_iters=5) for cl in clusters]
+    assert fused == single
