@@ -202,3 +202,62 @@ def test_fused_align_clusters_host_consistency_fallback(monkeypatch):
     )
     single = [align(cl, refine_iters=5) for cl in clusters]
     assert fused == single
+
+
+def test_pallas_randomized_stress(monkeypatch):
+    """Randomized shapes (multiple Lmax buckets, empty/single-char/
+    homopolymer pathologies): dense parity vs the XLA path and bitwise
+    EA-score agreement with host mea_score on the transport values."""
+    import random
+
+    from dna_ldpc_tpu.ops.msa.align import mea_score
+    from dna_ldpc_tpu.ops.msa.pairhmm import (
+        batch_posteriors,
+        batch_posteriors_sparse,
+        densify_sparse,
+    )
+    from dna_ldpc_tpu.ops.msa.pairhmm_pallas import batch_post_ea_pallas
+
+    rng = random.Random(99)
+
+    def rs(n):
+        return "".join(rng.choice("ACGT") for _ in range(n))
+
+    def mut(s, k):
+        s = list(s)
+        for _ in range(k):
+            op = rng.randrange(3)
+            if op == 0 and s:
+                s[rng.randrange(len(s))] = rng.choice("ACGT")
+            elif op == 1 and len(s) > 1:
+                del s[rng.randrange(len(s))]
+            else:
+                s.insert(rng.randrange(len(s)), rng.choice("ACGT"))
+        return "".join(s)
+
+    for trial in range(3):
+        Lpick = rng.choice([24, 48, 90])
+        xs, ys = [], []
+        for _ in range(rng.randint(3, 8)):
+            b = rs(rng.randint(1, Lpick))
+            xs.append(b)
+            ys.append(mut(b, rng.randint(0, 4)))
+        xs += ["", "A", "A" * min(Lpick, 25)]
+        ys += [rs(3), "", "A" * min(Lpick, 30)]
+
+        monkeypatch.setenv("DNA_LDPC_PAIRHMM", "xla")
+        dense = batch_posteriors(xs, ys, transport="dense")
+        monkeypatch.setenv("DNA_LDPC_PAIRHMM", "pallas")
+        post, ea, lx, ly, _L = batch_post_ea_pallas(xs, ys)
+        post = np.asarray(post)
+        ea = np.asarray(ea)
+        sv, si, lxs, lys, _ = batch_posteriors_sparse(xs, ys)
+        for p in range(len(xs)):
+            d = dense[p]
+            q = post[p, : lx[p], : ly[p]]
+            assert d.shape == q.shape
+            if d.size:
+                np.testing.assert_allclose(q, d, atol=2e-4, rtol=2e-4)
+            dd = densify_sparse(sv[p], si[p], int(lxs[p]), int(lys[p]))
+            host_ea = mea_score(dd) if dd.size else 0.0
+            assert np.float32(host_ea) == np.float32(ea[p])
