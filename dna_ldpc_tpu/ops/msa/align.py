@@ -525,6 +525,7 @@ def align_clusters(
     seed: int = 0,
     pair_chunk: int = 2048,
     n_workers: int | None = None,
+    timings: dict | None = None,
 ) -> list[list[tuple[int, str]]]:
     """Align many clusters with the device stages batched ACROSS clusters.
 
@@ -544,12 +545,24 @@ def align_clusters(
     its inputs on device (_align_clusters_fused) — only the final
     transformed posteriors cross the relay link, once.
     """
+    import os
+
     from .pairhmm import use_pallas
 
+    if timings is None:
+        timings = {}
     if use_pallas():
+        # default TPU path: fully device-resident MSA (posteriors never
+        # leave the chip); DNA_LDPC_DEVICE_MSA=0 falls back to the
+        # sparse-transport flow feeding the host C++ aligner
+        if os.environ.get("DNA_LDPC_DEVICE_MSA", "1") != "0":
+            return _align_clusters_device(
+                clusters, refine_iters, consistency_iters, seed, pair_chunk,
+                n_workers, timings,
+            )
         return _align_clusters_fused(
             clusters, refine_iters, consistency_iters, seed, pair_chunk,
-            n_workers,
+            n_workers, timings,
         )
     from .consistency import consistency_clusters
 
@@ -572,6 +585,9 @@ def align_clusters(
     # compute and the relay transfers.
     from .pairhmm import batch_posteriors_sparse_start, densify_sparse
 
+    import time as _time
+
+    t_ph = _time.time()
     chunk_vals: list[np.ndarray] = []
     chunk_idx: list[np.ndarray] = []
     posts_flat: list[np.ndarray] = []
@@ -621,6 +637,8 @@ def align_clusters(
         ]
         return np.concatenate(vs), np.concatenate(is_)
 
+    timings["pairhmm"] = timings.get("pairhmm", 0.0) + (_time.time() - t_ph)
+
     # EA distances from the raw posteriors (before consistency); the
     # native MEA scorer releases the GIL, so clusters score in parallel
     import os
@@ -638,9 +656,12 @@ def align_clusters(
             dist[i, j] = dist[j, i] = 1.0 - min(max(ea, 0.0), 1.0)
         return dist
 
+    t_ea = _time.time()
     with ThreadPoolExecutor(max_workers=n_workers) as pool:
         dists = list(pool.map(ea_dist, zip(clusters, spans)))
+    timings["ea"] = timings.get("ea", 0.0) + (_time.time() - t_ea)
 
+    t_cons = _time.time()
     if consistency_iters:
         transformed = consistency_clusters(
             [posts_flat[lo:hi] for lo, hi in spans], iters=consistency_iters,
@@ -648,6 +669,7 @@ def align_clusters(
         )
     else:
         transformed = [posts_flat[lo:hi] for lo, hi in spans]
+    timings["consistency"] = timings.get("consistency", 0.0) + (_time.time() - t_cons)
 
     # tree + progressive + refine per cluster, thread-parallel (clusters
     # are independent; the hot DP runs in native code without the GIL)
@@ -662,8 +684,12 @@ def align_clusters(
             pair_dists=dist,
         )
 
+    t_prog = _time.time()
     with ThreadPoolExecutor(max_workers=n_workers) as pool:
         out = list(pool.map(align_one, zip(clusters, transformed, dists)))
+    timings["progressive_refine"] = (
+        timings.get("progressive_refine", 0.0) + (_time.time() - t_prog)
+    )
     return out
 
 
@@ -675,6 +701,221 @@ def _refine_split(final: _Profile, g1, g2, posts) -> _Profile:
     return _align_profiles(p1, p2, posts)
 
 
+def _align_clusters_device(
+    clusters: list[list[str]],
+    refine_iters: int,
+    consistency_iters: int,
+    seed: int,
+    pair_chunk: int,
+    n_workers: int | None,
+    timings: dict | None = None,
+) -> list[list[tuple[int, str]]]:
+    """Fully device-resident align_clusters (the TPU production path).
+
+    The round-4 fused flow still downloaded every consistency-
+    transformed posterior as a top-k sparse transport (~380 MB/trial)
+    to run MUSCLE's progressive/refine stages in host C++; through the
+    thin TPU relay (~25 MB/s effective) that download was the
+    pipeline's dominant cost.  Here the posteriors NEVER leave the
+    chip:
+
+    1. pair-HMM chunks (pallas kernel) produce device-resident
+       posteriors + MEA/EA scores — only the [P] scores download;
+    2. clusters are grouped into device-MSA buckets
+       (ops/msa/device_msa.MSA_BUCKETS) and, per super-batch,
+       assemble_transform gathers their pairs from the chunk window,
+       bf16-rounds them (the value set the sparse transport carried)
+       and applies the consistency transform on device;
+    3. run_msa_batch executes ALL progressive joins and refinement
+       iterations as batched XLA merge programs; only the final uint8
+       column maps (~2 MB/trial) cross the link.
+
+    Clusters larger than the top bucket or whose alignment overflows
+    the device column budget fall back to the host align() path
+    (posteriors recomputed — rare).  Semantics match the host path's
+    merge machinery operation for operation; BuildPost float summation
+    order differs (tests/test_device_msa.py).
+    """
+    import os
+    import time as _time
+    from concurrent.futures import ThreadPoolExecutor
+
+    import jax.numpy as jnp
+
+    from .device_msa import MSA_BUCKETS, assemble_transform, run_msa_batch
+    from .pairhmm_pallas import batch_post_ea_pallas
+
+    if timings is None:
+        timings = {}
+
+    def _tick(key: str, t0: float) -> float:
+        now = _time.time()
+        timings[key] = timings.get(key, 0.0) + (now - t0)
+        return now
+
+    n_cl = len(clusters)
+    sizes = [len(c) for c in clusters]
+    out: list = [None] * n_cl
+
+    fallback: list[int] = []
+    by_bucket: dict[int, list[int]] = {}
+    maxlen = 1
+    for c in range(n_cl):
+        n = sizes[c]
+        if n == 0:
+            out[c] = []
+            continue
+        maxlen = max(maxlen, max(len(s) for s in clusters[c]))
+        if n == 1:
+            out[c] = [(0, clusters[c][0])]
+        elif n > MSA_BUCKETS[-1]:
+            fallback.append(c)
+        else:
+            nb = next(b for b in MSA_BUCKETS if b >= n)
+            by_bucket.setdefault(nb, []).append(c)
+
+    Lmax = max(32, -(-maxlen // 32) * 32)
+    if Lmax > 254:  # uint8 column-map transport bound
+        return _align_clusters_fused(
+            clusters, refine_iters, consistency_iters, seed, pair_chunk,
+            n_workers, timings,
+        )
+    pair_chunk = -(-pair_chunk // 8) * 8
+
+    # pair layout: buckets ascending, clusters contiguous, so every
+    # super-batch covers a contiguous global pair range and chunks can
+    # be freed behind the frontier
+    all_x: list[str] = []
+    all_y: list[str] = []
+    span: dict[int, tuple[int, int]] = {}
+    for nb in sorted(by_bucket):
+        for c in by_bucket[nb]:
+            seqs = clusters[c]
+            prs = cluster_pairs(len(seqs))
+            s0 = len(all_x)
+            all_x.extend(seqs[i] for i, _ in prs)
+            all_y.extend(seqs[j] for _, j in prs)
+            span[c] = (s0, len(all_x))
+    ntot = len(all_x)
+    ea_arr = np.zeros(max(ntot, 1), np.float32)
+    chunk_cache: dict[int, object] = {}
+
+    def get_chunk(ci):
+        if ci in chunk_cache:
+            return chunk_cache[ci]
+        t0 = _time.time()
+        lo = ci * pair_chunk
+        cx = list(all_x[lo : lo + pair_chunk])
+        cy = list(all_y[lo : lo + pair_chunk])
+        npad = pair_chunk - len(cx)
+        cx += [""] * npad
+        cy += [""] * npad
+        post, ea, _lx, _ly, _L = batch_post_ea_pallas(cx, cy, Lmax)
+        take = max(0, min(pair_chunk, ntot - lo))
+        if take:
+            ea_arr[lo : lo + take] = np.asarray(ea)[:take]
+        chunk_cache[ci] = post
+        _tick("pairhmm", t0)
+        return post
+
+    # per-bucket cluster capacity: bounds the resident transformed-
+    # posterior tensor to ~1.3 GB f32 (power of two for the chunked
+    # BuildPost gather)
+    C_CAPS = {2: 4096, 4: 2048, 8: 512, 16: 128, 32: 16}
+
+    def cluster_joins(c):
+        seqs = clusters[c]
+        n = len(seqs)
+        d = np.zeros((n, n), dtype=np.float64)
+        lo = span[c][0]
+        for p, (i, j) in enumerate(cluster_pairs(n)):
+            ea = float(ea_arr[lo + p]) / min(len(seqs[i]), len(seqs[j]))
+            d[i, j] = d[j, i] = 1.0 - min(max(ea, 0.0), 1.0)  # FixEADistMx
+        return upgma_join_order(d)
+
+    for nb in sorted(by_bucket):
+        members = by_bucket[nb]
+        npair_b = nb * (nb - 1) // 2
+        ii_b, jj_b = np.triu_indices(nb, k=1)
+        slot_of = {(int(a), int(b)): sl for sl, (a, b) in enumerate(zip(ii_b, jj_b))}
+        C_cap = C_CAPS[nb]
+        iters_b = consistency_iters if nb >= 3 else 0
+        for mlo in range(0, len(members), C_cap):
+            batch = members[mlo : mlo + C_cap]
+            p_lo = span[batch[0]][0]
+            p_hi = span[batch[-1]][1]
+
+            t0 = _time.time()
+            parts = []
+            g = p_lo
+            while g < p_hi:
+                ci, off = divmod(g, pair_chunk)
+                take = min(p_hi - g, pair_chunk - off)
+                parts.append(get_chunk(ci)[off : off + take])
+                g += take
+            P_flat = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+            # fixed flat length per bucket: one compiled assemble program
+            pf_cap = C_cap * npair_b
+            if P_flat.shape[0] < pf_cap:
+                P_flat = jnp.pad(
+                    P_flat, ((0, pf_cap - P_flat.shape[0]), (0, 0), (0, 0))
+                )
+            ids = np.zeros(C_cap * npair_b, np.int32)
+            mask = np.zeros(C_cap * npair_b, bool)
+            inv_n = np.ones(C_cap, np.float32)
+            for bi, c in enumerate(batch):
+                n = sizes[c]
+                inv_n[bi] = 1.0 / n
+                lo_c = span[c][0]
+                for pi, (i, j) in enumerate(cluster_pairs(n)):
+                    sl = bi * npair_b + slot_of[(i, j)]
+                    ids[sl] = lo_c + pi - p_lo
+                    mask[sl] = True
+            P = assemble_transform(
+                P_flat, jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(inv_n),
+                nb, iters_b, C_cap, Lmax,
+            )
+            del P_flat, parts
+            _tick("consistency", t0)
+            # free chunks strictly behind the remaining pair frontier
+            keep_from = p_hi // pair_chunk
+            for ck in [k for k in list(chunk_cache) if k < keep_from]:
+                del chunk_cache[ck]
+
+            t0 = _time.time()
+            seqs_list = [clusters[c] for c in batch]
+            joins_list = [cluster_joins(c) for c in batch]
+            rows_out, _ovf = run_msa_batch(
+                P, seqs_list, joins_list, nb, Lmax, refine_iters, seed,
+            )
+            del P
+            for c, rows in zip(batch, rows_out):
+                if rows is None:
+                    fallback.append(c)
+                else:
+                    out[c] = rows
+            _tick("msa_device", t0)
+    chunk_cache.clear()
+
+    # host fallback: oversized clusters + device column-budget overflow
+    if fallback:
+        t0 = _time.time()
+        if n_workers is None:
+            n_workers = min(8, os.cpu_count() or 1)
+
+        def full_align(c):
+            return align(
+                clusters[c], refine_iters=refine_iters,
+                consistency_iters=consistency_iters, seed=seed,
+            )
+
+        with ThreadPoolExecutor(max_workers=n_workers) as pool:
+            for c, rows in zip(fallback, pool.map(full_align, fallback)):
+                out[c] = rows
+        _tick("progressive_refine", t0)
+    return out
+
+
 def _align_clusters_fused(
     clusters: list[list[str]],
     refine_iters: int,
@@ -682,6 +923,7 @@ def _align_clusters_fused(
     seed: int,
     pair_chunk: int,
     n_workers: int | None,
+    timings: dict | None = None,
 ) -> list[list[tuple[int, str]]]:
     """Device-fused align_clusters (TPU production path).
 
@@ -709,6 +951,7 @@ def _align_clusters_fused(
     host mea_score() on those values (f32 DP along identical paths).
     """
     import os
+    import time as _time
     from concurrent.futures import ThreadPoolExecutor
 
     import jax.numpy as jnp
@@ -716,6 +959,14 @@ def _align_clusters_fused(
     from .consistency import N_BUCKETS, _consistency_fused, _consistency_host
     from .pairhmm import _sparsify_post, densify_sparse
     from .pairhmm_pallas import batch_post_ea_pallas
+
+    if timings is None:
+        timings = {}
+
+    def _tick(key: str, t0: float) -> float:
+        now = _time.time()
+        timings[key] = timings.get(key, 0.0) + (now - t0)
+        return now
 
     n_cl = len(clusters)
     sizes = [len(c) for c in clusters]
@@ -807,6 +1058,7 @@ def _align_clusters_fused(
     def get_chunk(ci):
         if ci in chunk_cache:
             return chunk_cache[ci]
+        t0 = _time.time()
         lo = ci * pair_chunk
         cx = list(all_x[lo : lo + pair_chunk])
         cy = list(all_y[lo : lo + pair_chunk])
@@ -818,6 +1070,7 @@ def _align_clusters_fused(
         if take:
             ea_arr[lo : lo + take] = np.asarray(ea)[:take]
         chunk_cache[ci] = post
+        _tick("pairhmm", t0)
         return post
 
     raw_chunks: dict[int, tuple[np.ndarray, np.ndarray]] = {}
@@ -849,6 +1102,8 @@ def _align_clusters_fused(
                 transformed[c] = ("sparse", vals[bi, slots], idx[bi, slots], slx)
         pending.clear()
 
+    t_cons = _time.time()
+    ph_before = timings.get("pairhmm", 0.0)
     for d in plan:
         if d[0] == "raw":
             ci = d[1]
@@ -872,6 +1127,11 @@ def _align_clusters_fused(
                 del chunk_cache[ci]
     collect_pending()
     chunk_cache.clear()
+    # consistency time = plan sweep minus the pair-HMM chunk time booked
+    # inside get_chunk calls made from this loop
+    timings["consistency"] = timings.get("consistency", 0.0) + (
+        (_time.time() - t_cons) - (timings.get("pairhmm", 0.0) - ph_before)
+    )
 
     def raw_span_sparse(lo, hi):
         """Sparse (vals, idx) rows for global raw pairs [lo, hi), padded
@@ -940,5 +1200,8 @@ def _align_clusters_fused(
             **kw,
         )
 
+    t_prog = _time.time()
     with ThreadPoolExecutor(max_workers=n_workers) as pool:
-        return list(pool.map(align_one, range(n_cl)))
+        out = list(pool.map(align_one, range(n_cl)))
+    _tick("progressive_refine", t_prog)
+    return out

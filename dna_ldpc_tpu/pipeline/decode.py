@@ -238,9 +238,14 @@ def decode_trial(
         n_kept = len(filtered.payloads)
 
         t0 = time.time()
-        llr_table = compute_trial_llrs(filtered, config.epsil, aligner)  # [18432, 272]
+        llr_sub: dict = {}
+        llr_table = compute_trial_llrs(
+            filtered, config.epsil, aligner, timings=llr_sub
+        )  # [18432, 272]
         soft = llr_table.T.copy()  # [272, 18432] per-codeword soft inputs
         phase["llr"] = time.time() - t0
+        for k, v in llr_sub.items():
+            phase[f"llr_{k}"] = v
         if checkpoint_path:
             TrialCheckpoint(
                 epsil=config.epsil, llr_table=llr_table, n_reads_kept=n_kept

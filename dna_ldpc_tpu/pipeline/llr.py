@@ -191,6 +191,7 @@ def compute_trial_llrs(
     aligner: Aligner | None = None,
     use_native: bool = True,
     batch_msa: bool = True,
+    timings: dict | None = None,
 ) -> np.ndarray:
     """Full [18432, 272] LLR table for one trial (erasure strands zero).
 
@@ -199,10 +200,15 @@ def compute_trial_llrs(
     (native/ingest.cpp) and only mixed-length clusters take the
     Python + MSA path; semantics are identical either way.
     """
+    import time as _time
+
+    if timings is None:
+        timings = {}
     out = np.zeros((N_STRANDS, PAYLOAD_BITS), dtype=np.float64)
     strands = filtered.strands
     if len(strands) == 0:
         return out
+    t0 = _time.time()
     boundaries = np.nonzero(np.diff(strands))[0] + 1
     starts = np.concatenate([[0], boundaries]).astype(np.int64)
     ends = np.concatenate([boundaries, [len(strands)]]).astype(np.int64)
@@ -226,12 +232,15 @@ def compute_trial_llrs(
                 starts, ends, strand_of_cluster, mag, out,
             )
 
+    timings["native_count"] = timings.get("native_count", 0.0) + (_time.time() - t0)
     pending = np.nonzero(needs_python)[0]
     if len(pending) == 0:
         return out
 
     if aligner is None and batch_msa:
-        _process_mixed_clusters_batched(filtered, starts, ends, strands, pending, epsil, out)
+        _process_mixed_clusters_batched(
+            filtered, starts, ends, strands, pending, epsil, out, timings
+        )
         return out
 
     for c in pending:
@@ -248,18 +257,24 @@ def compute_trial_llrs(
 
 
 def _process_mixed_clusters_batched(
-    filtered: FilteredReads, starts, ends, strands, pending, epsil: float, out: np.ndarray
+    filtered: FilteredReads, starts, ends, strands, pending, epsil: float,
+    out: np.ndarray, timings: dict | None = None,
 ) -> None:
     """Mixed-length clusters, vectorized across the trial: one batched
     edit-distance pass for every cluster's pre-filter pairs, one
     cross-cluster batched pair-HMM run (ops.msa.align_clusters), then the
     per-cluster counting rules. Semantically identical to routing each
     cluster through cluster_llr with the default MSA aligner."""
+    import time as _time
+
     from ..ops.msa import align_clusters
 
+    if timings is None:
+        timings = {}
     mag = math.log((1 - epsil) / epsil)
 
     # ---- batched edit-distance pre-filter --------------------------------
+    t0 = _time.time()
     infos = []
     pa, pb = [], []
     for c in pending:
@@ -299,11 +314,13 @@ def _process_mixed_clusters_batched(
             continue  # erasure strand: LLRs stay zero
         jobs.append((strand, [reads[i] for i in keep], [quals[i] for i in keep]))
 
+    timings["edit_prefilter"] = timings.get("edit_prefilter", 0.0) + (_time.time() - t0)
     if not jobs:
         return
 
     # ---- cross-cluster batched MSA + counting ----------------------------
-    aligned = align_clusters([reads for _, reads, _ in jobs])
+    aligned = align_clusters([reads for _, reads, _ in jobs], timings=timings)
+    t0 = _time.time()
     for (strand, _, subq), rows_out in zip(jobs, aligned):
         rows, rq, error_q = [], [], []
         for ordinal, aseq in rows_out:
@@ -326,3 +343,4 @@ def _process_mixed_clusters_batched(
             out[strand] = llr
         else:
             out[strand] = _count_llr(rows, rq, mag)
+    timings["counting"] = timings.get("counting", 0.0) + (_time.time() - t0)
