@@ -129,19 +129,40 @@ def edit_distance_batch_native(
     lengths: np.ndarray,
     pairs_a: np.ndarray,
     pairs_b: np.ndarray,
+    n_threads: int | None = None,
 ) -> np.ndarray:
+    """Pairs are split across OS threads (ctypes releases the GIL during
+    the native call, and each pair's DP is independent)."""
     lib = _build_and_load()
     assert lib is not None
-    out = np.zeros(len(pairs_a), dtype=np.int32)
-    lib.edit_distance_batch(
-        _ptr(bytes_buf, ctypes.c_uint8),
-        _ptr(offsets, ctypes.c_int64),
-        _ptr(lengths, ctypes.c_int32),
-        _ptr(np.ascontiguousarray(pairs_a, np.int32), ctypes.c_int32),
-        _ptr(np.ascontiguousarray(pairs_b, np.int32), ctypes.c_int32),
-        ctypes.c_int64(len(pairs_a)),
-        _ptr(out, ctypes.c_int32),
-    )
+    pa = np.ascontiguousarray(pairs_a, np.int32)
+    pb = np.ascontiguousarray(pairs_b, np.int32)
+    n = len(pa)
+    out = np.zeros(n, dtype=np.int32)
+    if n_threads is None:
+        n_threads = min(os.cpu_count() or 1, 8)
+
+    def run(lo: int, hi: int) -> None:
+        if hi <= lo:
+            return
+        lib.edit_distance_batch(
+            _ptr(bytes_buf, ctypes.c_uint8),
+            _ptr(offsets, ctypes.c_int64),
+            _ptr(lengths, ctypes.c_int32),
+            _ptr(pa[lo:hi], ctypes.c_int32),
+            _ptr(pb[lo:hi], ctypes.c_int32),
+            ctypes.c_int64(hi - lo),
+            _ptr(out[lo:hi], ctypes.c_int32),
+        )
+
+    if n_threads <= 1 or n < 2048:
+        run(0, n)
+        return out
+    from concurrent.futures import ThreadPoolExecutor
+
+    step = -(-n // n_threads)
+    with ThreadPoolExecutor(max_workers=n_threads) as pool:
+        list(pool.map(lambda lo: run(lo, min(lo + step, n)), range(0, n, step)))
     return out
 
 

@@ -347,6 +347,55 @@ def _bp_pallas_call(code, max_iter: int, early_stop: bool, Bc: int, interpret: b
     return jax.jit(run)
 
 
+@functools.lru_cache(maxsize=32)
+def _bp_pallas_aot(code, max_iter: int, early_stop: bool, Bc: int, B: int):
+    """jax.export-backed call for one batch shape.
+
+    Tracing + Mosaic lowering of the fully J-unrolled kernel costs ~55 s
+    of CLIENT time per process — the XLA compilation cache can't help
+    because it only caches the post-lowering compile.  The serialized
+    export artifact (~2 MB) skips retracing entirely: a cold process
+    deserializes in ~1 ms and its compile hits the persistent XLA cache,
+    taking first-decode cold cost from ~60 s to ~2 s.  Falls back to the
+    plain jit path on any export/deserialize failure (version skew,
+    corrupt file)."""
+    import hashlib
+    import os
+
+    from jax import export as jexport
+
+    ident = hashlib.sha256()
+    ident.update(np.asarray(code.pi).tobytes())
+    ident.update(np.asarray(code.canonical_gather()).tobytes())
+    ident.update(
+        f"{max_iter}|{early_stop}|{Bc}|{B}|{jax.__version__}|{jax.default_backend()}".encode()
+    )
+    cache_dir = os.path.join(
+        os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+        "dna_ldpc_tpu",
+        "aot",
+    )
+    path = os.path.join(cache_dir, f"bp_{ident.hexdigest()[:32]}.jaxexp")
+    N = code.n_vars
+    if os.path.exists(path):
+        try:
+            exp = jexport.deserialize(open(path, "rb").read())
+            return exp.call
+        except Exception:
+            pass  # stale artifact: rebuild below
+    fn = _bp_pallas_call(code, max_iter, early_stop, Bc, False)
+    try:
+        exp = jexport.export(fn)(jax.ShapeDtypeStruct((B, N), jnp.float32))
+        os.makedirs(cache_dir, exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(exp.serialize())
+        os.replace(tmp, path)
+        return exp.call
+    except Exception:
+        return fn
+
+
 def bp_decode_blocked_pallas(
     code,
     llr: jax.Array,
@@ -380,6 +429,12 @@ def bp_decode_blocked_pallas(
     pad = (-B) % Bc
     if pad:
         llr = jnp.concatenate([llr, jnp.zeros((pad, llr.shape[1]), llr.dtype)], axis=0)
-    bits, unsat, iters = _bp_pallas_call(code, max_iter, early_stop, Bc, interpret)(llr)
+    import os
+
+    if not interpret and not os.environ.get("DNA_LDPC_NO_AOT"):
+        fn = _bp_pallas_aot(code, max_iter, early_stop, Bc, llr.shape[0])
+    else:
+        fn = _bp_pallas_call(code, max_iter, early_stop, Bc, interpret)
+    bits, unsat, iters = fn(llr)
     bits, unsat, iters = bits[:B], unsat[:B], iters[:B]
     return BpResult(bits=bits, success=unsat == 0, iterations=iters, unsat=unsat)

@@ -742,7 +742,7 @@ def _align_clusters_device(
 
     import jax.numpy as jnp
 
-    from .device_msa import MSA_BUCKETS, assemble_transform, run_msa_batch
+    from .device_msa import MSA_BUCKETS, assemble_transform, start_msa_batch
     from .pairhmm_pallas import batch_post_ea_pallas
 
     if timings is None:
@@ -799,6 +799,7 @@ def _align_clusters_device(
     ntot = len(all_x)
     ea_arr = np.zeros(max(ntot, 1), np.float32)
     chunk_cache: dict[int, object] = {}
+    ea_pending: dict[int, object] = {}
 
     def get_chunk(ci):
         if ci in chunk_cache:
@@ -811,12 +812,21 @@ def _align_clusters_device(
         cx += [""] * npad
         cy += [""] * npad
         post, ea, _lx, _ly, _L = batch_post_ea_pallas(cx, cy, Lmax)
-        take = max(0, min(pair_chunk, ntot - lo))
-        if take:
-            ea_arr[lo : lo + take] = np.asarray(ea)[:take]
-        chunk_cache[ci] = post
+        ea_pending[ci] = ea  # downloaded lazily: the kernel dispatch
+        # bf16 at rest: the assemble step rounds through bf16 anyway
+        # (sparse-transport value parity) and it halves the window
+        # concat the fixed-shape assemble program reads
+        chunk_cache[ci] = post.astype(jnp.bfloat16)
         _tick("pairhmm", t0)
-        return post
+        return chunk_cache[ci]
+
+    def ensure_ea():
+        for ci in sorted(ea_pending):
+            lo = ci * pair_chunk
+            take = max(0, min(pair_chunk, ntot - lo))
+            if take:
+                ea_arr[lo : lo + take] = np.asarray(ea_pending[ci])[:take]
+            del ea_pending[ci]
 
     # per-bucket cluster capacity: bounds the resident transformed-
     # posterior tensor to ~1.3 GB f32 (power of two for the chunked
@@ -833,6 +843,22 @@ def _align_clusters_device(
             d[i, j] = d[j, i] = 1.0 - min(max(ea, 0.0), 1.0)  # FixEADistMx
         return upgma_join_order(d)
 
+    # one super-batch stays in flight: the next batch's host work
+    # (chunk encode, joins, mask tables) overlaps the previous batch's
+    # device merges, and collect() happens while the device is busy
+    pending: tuple | None = None
+
+    def collect_job(p):
+        batch, job = p
+        t0 = _time.time()
+        rows_out, _ovf = job.collect()
+        for c, rows in zip(batch, rows_out):
+            if rows is None:
+                fallback.append(c)
+            else:
+                out[c] = rows
+        _tick("msa_collect", t0)
+
     for nb in sorted(by_bucket):
         members = by_bucket[nb]
         npair_b = nb * (nb - 1) // 2
@@ -840,26 +866,22 @@ def _align_clusters_device(
         slot_of = {(int(a), int(b)): sl for sl, (a, b) in enumerate(zip(ii_b, jj_b))}
         C_cap = C_CAPS[nb]
         iters_b = consistency_iters if nb >= 3 else 0
+        pf_cap = C_cap * npair_b
+        K_b = pf_cap // pair_chunk + 2  # chunk window incl. misalignment
+        n_chunks = max(1, -(-ntot // pair_chunk))
         for mlo in range(0, len(members), C_cap):
             batch = members[mlo : mlo + C_cap]
             p_lo = span[batch[0]][0]
             p_hi = span[batch[-1]][1]
 
             t0 = _time.time()
-            parts = []
-            g = p_lo
-            while g < p_hi:
-                ci, off = divmod(g, pair_chunk)
-                take = min(p_hi - g, pair_chunk - off)
-                parts.append(get_chunk(ci)[off : off + take])
-                g += take
-            P_flat = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
-            # fixed flat length per bucket: one compiled assemble program
-            pf_cap = C_cap * npair_b
-            if P_flat.shape[0] < pf_cap:
-                P_flat = jnp.pad(
-                    P_flat, ((0, pf_cap - P_flat.shape[0]), (0, 0), (0, 0))
-                )
+            # FIXED-length chunk window per bucket (out-of-range slots
+            # repeat the last chunk; their pair slots are masked) — one
+            # compiled assemble program per bucket, trial-independent
+            w0 = p_lo // pair_chunk
+            chunks = tuple(
+                get_chunk(min(w0 + k, n_chunks - 1)) for k in range(K_b)
+            )
             ids = np.zeros(C_cap * npair_b, np.int32)
             mask = np.zeros(C_cap * npair_b, bool)
             inv_n = np.ones(C_cap, np.float32)
@@ -869,13 +891,13 @@ def _align_clusters_device(
                 lo_c = span[c][0]
                 for pi, (i, j) in enumerate(cluster_pairs(n)):
                     sl = bi * npair_b + slot_of[(i, j)]
-                    ids[sl] = lo_c + pi - p_lo
+                    ids[sl] = lo_c + pi - w0 * pair_chunk
                     mask[sl] = True
             P = assemble_transform(
-                P_flat, jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(inv_n),
+                chunks, jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(inv_n),
                 nb, iters_b, C_cap, Lmax,
             )
-            del P_flat, parts
+            del chunks
             _tick("consistency", t0)
             # free chunks strictly behind the remaining pair frontier
             keep_from = p_hi // pair_chunk
@@ -883,30 +905,46 @@ def _align_clusters_device(
                 del chunk_cache[ck]
 
             t0 = _time.time()
+            ensure_ea()
             seqs_list = [clusters[c] for c in batch]
             joins_list = [cluster_joins(c) for c in batch]
-            rows_out, _ovf = run_msa_batch(
+            job = start_msa_batch(
                 P, seqs_list, joins_list, nb, Lmax, refine_iters, seed,
             )
             del P
-            for c, rows in zip(batch, rows_out):
-                if rows is None:
-                    fallback.append(c)
-                else:
-                    out[c] = rows
             _tick("msa_device", t0)
+            if pending is not None:
+                collect_job(pending)
+            pending = (batch, job)
+    if pending is not None:
+        collect_job(pending)
     chunk_cache.clear()
 
-    # host fallback: oversized clusters + device column-budget overflow
+    # host fallback: oversized clusters + device column-budget overflow.
+    # Posteriors are computed here with the pair axis padded to a
+    # multiple of 64 so odd cluster sizes reuse a handful of compiled
+    # pair-HMM executables instead of one per size (compiles through
+    # the remote TPU service cost ~10 s each).
     if fallback:
         t0 = _time.time()
         if n_workers is None:
             n_workers = min(8, os.cpu_count() or 1)
 
         def full_align(c):
+            seqs = clusters[c]
+            prs = cluster_pairs(len(seqs))
+            xs = [seqs[i] for i, _ in prs]
+            ys = [seqs[j] for _, j in prs]
+            from .pairhmm import batch_posteriors
+
+            pad = -(-max(len(xs), 1) // 64) * 64
+            posts = batch_posteriors(
+                xs + [""] * (pad - len(xs)), ys + [""] * (pad - len(xs))
+            )[: len(xs)]
             return align(
                 clusters[c], refine_iters=refine_iters,
                 consistency_iters=consistency_iters, seed=seed,
+                pair_posts=posts,
             )
 
         with ThreadPoolExecutor(max_workers=n_workers) as pool:

@@ -406,16 +406,21 @@ def _msa_readout(cpos, width):
 
 
 @functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
-def assemble_transform(P_flat, ids, mask, inv_n, nb, iters, C_cap, L):
-    """Gather a super-batch's pair posteriors from the device-resident
-    flat pair tensor into bucket layout, bf16-round (the value set the
-    host path's sparse transport would carry), and apply the
-    consistency transform for buckets of >= 3 sequences.  Returns
-    [C_cap, npair, L+1, L+1] f32 with zero-padded gap row/col."""
+def assemble_transform(chunks, ids, mask, inv_n, nb, iters, C_cap, L):
+    """Gather a super-batch's pair posteriors from its window of
+    device-resident pair-HMM chunks (a FIXED-length tuple per bucket —
+    every shape here is trial-independent, so each bucket compiles
+    exactly one assemble program), bf16-round (the value set the host
+    path's sparse transport would carry), and apply the consistency
+    transform for buckets of >= 3 sequences.  ``ids`` are
+    window-relative flat pair indices (mask covers pad slots).
+    Returns [C_cap, npair, L+1, L+1] f32 with zero-padded gap
+    row/col."""
     from .consistency import _consistency_core
 
     npair = nb * (nb - 1) // 2
-    sel = jnp.take(P_flat, ids, axis=0)
+    W = jnp.concatenate(list(chunks), axis=0)
+    sel = jnp.take(W, ids, axis=0)
     sel = jnp.where(mask[:, None, None], sel, 0.0)
     sel = sel.astype(jnp.bfloat16).astype(jnp.float32)
     pm = sel.reshape(C_cap, npair, L, L)
@@ -444,7 +449,49 @@ def assemble_transform(P_flat, ids, mask, inv_n, nb, iters, C_cap, L):
 # ---------------------------------------------------------------------------
 
 
-def run_msa_batch(
+class MsaJob:
+    """In-flight device MSA batch: all programs are dispatched, nothing
+    is synced until :meth:`collect` — callers overlap the next batch's
+    host-side work (joins, mask building) with this one's device
+    compute."""
+
+    def __init__(self, seqs_list, cpos_u8, width, ovf, L):
+        self._seqs = seqs_list
+        self._cpos = cpos_u8
+        self._width = width
+        self._ovf = ovf
+        self._L = L
+
+    def collect(self):
+        """(rows_per_cluster, overflow_flags): rows_per_cluster[c] is
+        the aligned [(ordinal, row)] list (None where overflow),
+        matching align()'s output contract."""
+        L = self._L
+        C_true = len(self._seqs)
+        # download full padded tensors (fixed shapes; slicing on device
+        # with a trial-varying C_true would recompile per super-batch)
+        cpos_np = np.asarray(self._cpos)[:C_true]
+        width_np = np.asarray(self._width)[:C_true]
+        ovf_np = np.asarray(self._ovf)[:C_true]
+        out: list = []
+        for c, seqs in enumerate(self._seqs):
+            if ovf_np[c]:
+                out.append(None)
+                continue
+            w = int(width_np[c])
+            rows = []
+            for s, q in enumerate(seqs):
+                qb = np.frombuffer(q.encode("latin1"), np.uint8)
+                qb = np.concatenate(
+                    [qb, np.full(L + 1 - len(qb), ord("-"), np.uint8)]
+                )
+                row = qb[np.minimum(cpos_np[c, s, :w], L)]
+                rows.append((s, row.tobytes().decode("latin1")))
+            out.append(rows)
+        return out, ovf_np
+
+
+def start_msa_batch(
     P,
     seqs_list: list[list[str]],
     joins_list: list[list[tuple[int, int]]],
@@ -452,16 +499,13 @@ def run_msa_batch(
     Lpad: int,
     refine_iters: int,
     seed: int,
-):
-    """Align one bucket batch of clusters on device.
+) -> MsaJob:
+    """Dispatch one bucket batch's full device MSA (progressive +
+    refinement + readout) without blocking.
 
     P: [C_cap, npair, Lpad+1, Lpad+1] device array (f32 or bf16),
     zero-padded at row/col Lpad and on pad pairs/clusters.
-    seqs_list/joins_list: the C_true real clusters (C_true <= C_cap).
-
-    Returns (rows_per_cluster, overflow_flags): rows_per_cluster[c] is
-    the aligned [(ordinal, row)] list (None where overflow), matching
-    align()'s output contract."""
+    seqs_list/joins_list: the C_true real clusters (C_true <= C_cap)."""
     C_cap = P.shape[0]
     C_true = len(seqs_list)
     Cmax = Lpad + 64
@@ -506,29 +550,28 @@ def run_msa_batch(
             k, n = tab.shape
             rA_full[:k, c, :n] = tab.astype(bool)
             rows_pc[c] = k
-        frozen = jnp.zeros((C_cap,), bool)
-        frozen = frozen.at[C_true:].set(True)
+        # numpy-built (jnp .at with a trial-varying C_true bound would
+        # compile a fresh eager executable per super-batch shape)
+        frozen = jnp.asarray(np.arange(C_cap) >= C_true)
         cpos, width, frozen, ovf = _msa_refine(
             Pblock, cpos, width, frozen, ovf, jnp.asarray(rA_full),
             jnp.asarray(rows_pc), Cmax, L, nb,
         )
 
     cpos_u8, width_out = _msa_readout(cpos, width)
-    cpos_np = np.asarray(cpos_u8[:C_true])
-    width_np = np.asarray(width_out[:C_true])
-    ovf_np = np.asarray(ovf[:C_true])
+    return MsaJob(seqs_list, cpos_u8, width_out, ovf, L)
 
-    out: list = []
-    for c, seqs in enumerate(seqs_list):
-        if ovf_np[c]:
-            out.append(None)
-            continue
-        w = int(width_np[c])
-        rows = []
-        for s, q in enumerate(seqs):
-            qb = np.frombuffer(q.encode("latin1"), np.uint8)
-            qb = np.concatenate([qb, np.full(L + 1 - len(qb), ord("-"), np.uint8)])
-            row = qb[np.minimum(cpos_np[c, s, :w], L)]
-            rows.append((s, row.tobytes().decode("latin1")))
-        out.append(rows)
-    return out, ovf_np
+
+def run_msa_batch(
+    P,
+    seqs_list: list[list[str]],
+    joins_list: list[list[tuple[int, int]]],
+    nb: int,
+    Lpad: int,
+    refine_iters: int,
+    seed: int,
+):
+    """Blocking convenience wrapper: start_msa_batch + collect."""
+    return start_msa_batch(
+        P, seqs_list, joins_list, nb, Lpad, refine_iters, seed
+    ).collect()
