@@ -28,6 +28,7 @@ import time
 import numpy as np
 
 BASELINE_CW_PER_S = 0.21
+V5E_BF16_PEAK = 197e12
 V5E_F32_PEAK = 98.5e12 / 2  # bf16 peak 197 TFLOP/s; f32 ~ quarter of that
 
 
@@ -85,12 +86,20 @@ def main():
         decode(llr, 50, False)
         times.append(time.perf_counter() - t0)
     fixed50 = B / min(times)
-    # flops model: per iteration per codeword ~10*nnz f32 ops (check pass
-    # fwd/bwd exclusive products ~4*nnz, variable pass ~4*nnz, syndrome
-    # ~2*nnz); routing itself is data movement, not flops
+    # ALGORITHMIC flops model: per iteration per codeword ~10*nnz f32 ops
+    # (check pass fwd/bwd exclusive products ~4*nnz, variable pass
+    # ~4*nnz, syndrome ~2*nnz); routing itself is data movement under
+    # this model, so the one-hot-routing design is ~1% by construction
     nnz = graph.n_edges
     flops_per_s = fixed50 * 50 * 10 * nnz
     mfu = 100.0 * flops_per_s / V5E_F32_PEAK
+    # ACHIEVED-ARITHMETIC model: what the kernel actually executes on the
+    # MXU — 2 routing matmul phases x G x J of [B, q] @ [q, q] per
+    # iteration (bp_pallas.py route_to_*). This is the number that says
+    # whether the kernel is near its hardware roof.
+    blk = graph.blocked
+    mxu_flops_per_s = fixed50 * 50 * 2 * blk.G * blk.J * blk.q * blk.q * 2
+    mxu_util = 100.0 * mxu_flops_per_s / V5E_BF16_PEAK
 
     out = {
         "metric": f"decoded codewords/s/chip (n=18432, fused pallas BP, reference semantics: sum-product, max 200 iters, syndrome early stop; trial-like channel, batch {B})",
@@ -99,6 +108,8 @@ def main():
         "vs_baseline": round(value / BASELINE_CW_PER_S, 1),
         "fixed50_codewords_per_s": round(fixed50, 1),
         "fixed50_mfu_pct": round(mfu, 2),
+        "fixed50_mxu_tflops": round(mxu_flops_per_s / 1e12, 1),
+        "fixed50_mxu_util_pct": round(mxu_util, 1),
     }
     out.update(end_to_end_trial())
     print(json.dumps(out))
@@ -126,6 +137,27 @@ for t in range(10):
     if time.time() - t0 > budget and len(results) >= 2:
         break
 warm = sorted(r["seconds"] for r in results[1:])
+
+# stressed-channel point: reduced coverage puts the code at its erasure
+# threshold so the second decoding (epsilon-anneal loop) demonstrably
+# fires and recovers, mirroring the golden recovered-failure trials
+# (o_72000_7_{1,5,8}: 1, 8, 8 anneal rounds)
+from dna_ldpc_tpu.pipeline.simulate import ChannelModel, simulate_reads
+stress = {}
+dc = {}
+if time.time() - t0 < budget:
+    sreads, squals = simulate_reads(oligos, 65500, ChannelModel(), seed=123)
+    rs = decode_trial(sreads, squals, codewords, TrialConfig())
+    stress = {"ok": bool(rs.success), "fail_first": len(rs.fail_first),
+              "anneal_iters": int(rs.n_anneal_iters),
+              "seconds": round(rs.total_time, 2)}
+# double-coverage point (~2x the reference read depth, the --rs knob's
+# purpose): bounds the coverage-scaling of the MSA stage
+if time.time() - t0 < budget:
+    dreads, dquals = simulate_reads(oligos, 140000, ChannelModel(), seed=5)
+    rd = decode_trial(dreads, dquals, codewords, TrialConfig())
+    dc = {"ok": bool(rd.success), "seconds": round(rd.total_time, 2)}
+
 print("TRIAL_JSON " + json.dumps({
     "trials_decoded": sum(1 for r in results if r["ok"]),
     "trials_total": len(results),
@@ -134,6 +166,8 @@ print("TRIAL_JSON " + json.dumps({
     "phase": results[0]["phase"],
     "warm_phase": results[1]["phase"],
     "anneal_iters": [r["anneal"] for r in results],
+    "anneal_stress": stress,
+    "double_coverage": dc,
 }))
 """
 
@@ -175,6 +209,8 @@ def end_to_end_trial():
                     "end_to_end_warm_vs_baseline": round((272.0 / warm) / BASELINE_CW_PER_S, 1),
                     "end_to_end_phase_times": data["phase"],
                     "end_to_end_warm_phase_times": data["warm_phase"],
+                    "end_to_end_anneal_stress": data.get("anneal_stress", {}),
+                    "end_to_end_double_coverage": data.get("double_coverage", {}),
                 }
         return {"end_to_end_trial_seconds": None,
                 "end_to_end_error": (proc.stdout + proc.stderr)[-400:]}

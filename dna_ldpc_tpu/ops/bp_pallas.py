@@ -348,7 +348,8 @@ def _bp_pallas_call(code, max_iter: int, early_stop: bool, Bc: int, interpret: b
 
 
 @functools.lru_cache(maxsize=32)
-def _bp_pallas_aot(code, max_iter: int, early_stop: bool, Bc: int, B: int):
+def _bp_pallas_aot(code, max_iter: int, early_stop: bool, Bc: int, B: int,
+                   in_dtype: str = "float32"):
     """jax.export-backed call for one batch shape.
 
     Tracing + Mosaic lowering of the fully J-unrolled kernel costs ~55 s
@@ -368,7 +369,8 @@ def _bp_pallas_aot(code, max_iter: int, early_stop: bool, Bc: int, B: int):
     ident.update(np.asarray(code.pi).tobytes())
     ident.update(np.asarray(code.canonical_gather()).tobytes())
     ident.update(
-        f"{max_iter}|{early_stop}|{Bc}|{B}|{jax.__version__}|{jax.default_backend()}".encode()
+        f"{max_iter}|{early_stop}|{Bc}|{B}|{in_dtype}|"
+        f"{jax.__version__}|{jax.default_backend()}".encode()
     )
     cache_dir = os.path.join(
         os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
@@ -385,7 +387,7 @@ def _bp_pallas_aot(code, max_iter: int, early_stop: bool, Bc: int, B: int):
             pass  # stale artifact: rebuild below
     fn = _bp_pallas_call(code, max_iter, early_stop, Bc, False)
     try:
-        exp = jexport.export(fn)(jax.ShapeDtypeStruct((B, N), jnp.float32))
+        exp = jexport.export(fn)(jax.ShapeDtypeStruct((B, N), jnp.dtype(in_dtype)))
         os.makedirs(cache_dir, exist_ok=True)
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:
@@ -432,7 +434,9 @@ def bp_decode_blocked_pallas(
     import os
 
     if not interpret and not os.environ.get("DNA_LDPC_NO_AOT"):
-        fn = _bp_pallas_aot(code, max_iter, early_stop, Bc, llr.shape[0])
+        fn = _bp_pallas_aot(
+            code, max_iter, early_stop, Bc, llr.shape[0], str(llr.dtype)
+        )
     else:
         fn = _bp_pallas_call(code, max_iter, early_stop, Bc, interpret)
     bits, unsat, iters = fn(llr)

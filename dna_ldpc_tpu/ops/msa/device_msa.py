@@ -508,7 +508,10 @@ def start_msa_batch(
     seqs_list/joins_list: the C_true real clusters (C_true <= C_cap)."""
     C_cap = P.shape[0]
     C_true = len(seqs_list)
-    Cmax = Lpad + 64
+    # column budget: reads of one strand differ by a few indels, so the
+    # aligned width barely exceeds the longest read; +32 covers every
+    # observed trial (width overflow falls back to the host aligner)
+    Cmax = Lpad + 32
     L = Lpad
 
     lens = np.zeros((C_cap, nb), np.int32)

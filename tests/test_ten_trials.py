@@ -84,6 +84,17 @@ for t in range(10):
                 "seconds": round(r.total_time, 1)})
     print("TRIAL_DONE " + json.dumps(out[-1]), flush=True)
 print("TEN_TRIALS " + json.dumps(out))
+
+# stressed-channel point: reduced coverage pushes the code to its
+# erasure threshold so the second decoding demonstrably fires, mirroring
+# the golden profile's recovered-failure trials
+# (o_72000_7_{1,5,8}_0.020000_result.txt: 1, 8, 8 anneal rounds)
+from dna_ldpc_tpu.pipeline.simulate import ChannelModel, simulate_reads
+reads, quals = simulate_reads(oligos, 65500, ChannelModel(), seed=123)
+r = decode_trial(reads, quals, codewords, TrialConfig())
+print("STRESS_TRIAL " + json.dumps({
+    "ok": bool(r.success), "fail_first": [int(i) for i in r.fail_first],
+    "anneal": int(r.n_anneal_iters)}))
 """
 
 
@@ -107,9 +118,12 @@ def test_ten_trials_decode():
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
     results = None
+    stress = None
     for line in proc.stdout.splitlines():
         if line.startswith("TEN_TRIALS "):
             results = json.loads(line[len("TEN_TRIALS "):])
+        if line.startswith("STRESS_TRIAL "):
+            stress = json.loads(line[len("STRESS_TRIAL "):])
     assert results is not None, proc.stdout[-2000:] + proc.stderr[-2000:]
     assert all(r["ok"] for r in results), results
     anneal = [r["anneal"] for r in results]
@@ -118,3 +132,8 @@ def test_ten_trials_decode():
     # require a profile at least as good
     assert sum(1 for a in anneal if a == 0) >= 7
     assert max(anneal) <= 8
+    # stressed point: the second decoding must FIRE (>=1 first-decode
+    # failure) and recover it through the epsilon-anneal loop, like the
+    # golden trials 1/5/8 (decoder.py:594-664 semantics end to end)
+    assert stress is not None, proc.stdout[-2000:]
+    assert stress["ok"] and len(stress["fail_first"]) >= 1 and stress["anneal"] >= 1, stress
