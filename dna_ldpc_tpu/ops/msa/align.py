@@ -579,10 +579,11 @@ def align_clusters(
     # pair-HMM chunks in the sparse transport form: the (vals, idx)
     # triplets are both densified on host for the CPU stages and
     # re-uploaded AS-IS for the device consistency transform (16-20x
-    # less relay traffic than dense, bit-identical values). Chunks are
-    # dispatched ASYNCHRONOUSLY with a small window in flight so host
-    # sequence encoding and per-pair densification overlap the device
-    # compute and the relay transfers.
+    # less relay traffic than dense, bit-identical values). ALL chunk
+    # jobs are dispatched up-front and collected in order — every
+    # chunk's device-side buffers are live at once, which is fine at
+    # this path's scale (it serves CPU runs and tests; the TPU
+    # production path is _align_clusters_device).
     from .pairhmm import batch_posteriors_sparse_start, densify_sparse
 
     import time as _time
@@ -1010,7 +1011,9 @@ def _align_clusters_fused(
     sizes = [len(c) for c in clusters]
     # every bucket dispatch's pair range must fit a 2-chunk device window
     # (ids are window-local), so the chunk must hold the largest bucket's
-    # C(16,2) = 120 pairs; and it must be a multiple of the kernel's
+    # C(N_BUCKETS[-1], 2) pairs (496 at the current max bucket of 32 —
+    # this floor is also the minimum device window); and it must be a
+    # multiple of the kernel's
     # 8-pair tile or the device chunk tensors would be padded wider than
     # the window arithmetic assumes
     pair_chunk = max(pair_chunk, N_BUCKETS[-1] * (N_BUCKETS[-1] - 1) // 2)

@@ -21,12 +21,12 @@ cluster of a trial at once instead of a Python dict-loop per pair
 (the round-2 bottleneck at align.py:379-396).
 
 Compile economy: compiles through the remote TPU service cost far more
-than padded FLOPs, so cluster sizes are BUCKETED to n in
-{3, 4, 6, 8, 12, 16}
-(zero member blocks are inert in the block matmul; the divide-by-n uses
-the true per-cluster n) and the cluster axis is padded to a fixed chunk —
-at most four compiled programs regardless of the trial's cluster mix.
-Sizes above 16 and tiny groups fall back to an identical host loop.
+than padded FLOPs, so cluster sizes are BUCKETED to n in N_BUCKETS
+(currently {3, 4, 6, 8, 12, 16, 24, 32}; zero member blocks are inert in
+the block matmul, and the divide-by-n uses the true per-cluster n) and
+the cluster axis is padded to a fixed chunk — one compiled program per
+bucket regardless of the trial's cluster mix. Sizes above the top
+bucket and tiny groups fall back to an identical host loop.
 On TPU the fused flow (_consistency_fused, driven by the fused
 align_clusters) gathers inputs from device-resident chunk posteriors
 instead of re-uploading the sparse transport.

@@ -156,12 +156,20 @@ def sliding_window_bec(
     scheduling-distinct variants are implemented below:
     ``sliding_window_bec_save`` (_SAVE: per-position erasure-rate
     bookkeeping), ``sliding_window_bec_two`` (_TWO: mirrored
-    bidirectional sweeps), ``sliding_window_bec_step`` (_STEP: stride-eta
-    advance), ``sliding_window_bec_ra`` (_RA: lockstep dual windows over
-    a repeat-accumulate layout), ``sliding_window_bec_oc`` (_OC: eta
-    concurrent segment waves, batched on the TPU batch axis). _TWO_CROSS
-    and _TWO_INDI differ from _TWO only in commit bookkeeping and share
-    its recursion."""
+    bidirectional sweeps), ``sliding_window_bec_two_cross`` (_TWO_CROSS:
+    both waves sweep the FULL chain), ``sliding_window_bec_two_indi``
+    (_TWO_INDI: independent wave states, stitched halves),
+    ``sliding_window_bec_step`` (_STEP: stride-eta advance),
+    ``sliding_window_bec_ra`` (_RA: lockstep dual windows over a
+    repeat-accumulate layout), ``sliding_window_bec_oc`` (_OC: eta
+    concurrent segment waves, batched on the TPU batch axis),
+    ``sliding_window_bec_target`` (_TARGET: first-window probe), and the
+    non-windowed ``bec_decode_save`` / ``bec_decode_target``
+    (DECODER_BEC_SAVE/_TARGET). ``DECODER_BEC_SW_OPTION`` (enum 98) has
+    config parsing but NO decoder dispatch or body anywhere in the
+    reference (DNA_main.cpp:480-490 reads a _order.txt file — into the
+    punctuation array, a latent bug — and LDPC_Decode has no OPTION
+    branch), so there is no behavior to reproduce."""
     values = np.atleast_2d(np.asarray(values, np.int8))
     B = values.shape[0]
     w, b_v, L = chain.w, chain.b_v, chain.L
@@ -276,26 +284,144 @@ def sliding_window_bec_save(
     return out, stats
 
 
+def _two_wave_work(chain: ScChain, values, W: int):
+    """Padded work array shared by the _TWO family: w known-zero blocks
+    left (left termination) and W-1+w known-zero blocks right — the
+    right pad stands in for BOTH the right termination checks' missing
+    variables and the beyond-end windows of the full-length _CROSS
+    sweep (a known-0 pad variable is exactly equivalent to a shorter
+    check row on the BEC: it contributes no parity and no erasure)."""
+    values = np.atleast_2d(np.asarray(values, np.int8))
+    B = values.shape[0]
+    w, b_v = chain.w, chain.b_v
+    pad_l = np.zeros((B, w * b_v), np.int8)
+    pad_r = np.zeros((B, (W - 1 + w) * b_v), np.int8)
+    return np.concatenate([pad_l, values, pad_r], axis=1), B
+
+
 def sliding_window_bec_two(
     chain: ScChain,
     values,
     W: int = 4,
     iters: int = 50,
 ) -> np.ndarray:
-    """``DECODER_BEC_SW_TWO`` (dec.cpp Run_BEC_SW_Decoder_Two): TWO
-    mirrored windows sweep simultaneously — one forward from the left
-    end, one backward from the right end — sharing the value array, so
-    the two resolution waves meet in the middle. Each step interleaves
-    one forward window (anchor t, committing block t) with one backward
-    window (anchor L-1-t, committing block L-1-t); the window SUBGRAPH is
-    the same in both directions (the chain is shift-invariant), only the
-    anchor mirrors.
+    """``DECODER_BEC_SW_TWO`` (dec.cpp:2900-3007 Run_BEC_SW_Decoder_Two):
+    TWO windows sweep simultaneously — one forward from the left end,
+    one backward from the right end — sharing the value array, so the
+    two resolution waves meet in the middle after SC_Ls = L/2 steps
+    each.
 
-    Distinguishing power vs the base sweep: a right-anchored erasure run
-    longer than the window can only be peeled right-to-left from the
-    termination; the base decoder has already committed (and left
-    erased) the run's left blocks by the time its window gets there,
-    while the backward wave resolves them before its own commits."""
+    The backward window is the INDEX REFLECTION of the forward one
+    (dec.cpp:2972-2977: V2 = [N-V_End, N-V_Start), C2 = [M-C_End,
+    M-C_Start)): at step t its checks are blocks [L+w-t-W, L+w-t) — its
+    first step therefore anchors on the TERMINATION checks [L, L+w),
+    which is what lets it peel a right-anchored erasure run the forward
+    sweep strands (the r4 advisor's counter-example). The window
+    subgraph itself is shared (checks [c0, c0+W) always read vars
+    [c0-w, c0+W)); only the anchor mirrors.
+    """
+    w, b_v, L = chain.w, chain.b_v, chain.L
+    graph = _window_graph(chain, W)
+    work, B = _two_wave_work(chain, values, W)
+    win_n = (W + w) * b_v
+
+    for t in range(max(1, L // 2)):
+        # forward window: checks [t, t+W), vars [t-w, t+W)
+        lo = t * b_v
+        still = np.asarray(_peel_values(graph, work[:, lo : lo + win_n], iters))
+        work[:, lo : lo + win_n] = still
+
+        # backward window: checks [L+w-t-W, L+w-t), vars [L-t-W, L-t+w)
+        # — work offset of var block b is (b+w)*b_v, so the window
+        # starts at block L-t-W (clamped at the left end for very wide
+        # windows, where the reference's reflected V_Start2 goes
+        # negative)
+        lo2 = max(0, L - t - W + w) * b_v
+        still2 = np.asarray(_peel_values(graph, work[:, lo2 : lo2 + win_n], iters))
+        work[:, lo2 : lo2 + win_n] = still2
+
+    # the reference's _Two writes decisions into dblk in place and the
+    # final dblk is the output (no commit snapshots) — mirror that
+    return work[:, w * b_v : (w + L) * b_v].copy()
+
+
+def sliding_window_bec_two_cross(
+    chain: ScChain,
+    values,
+    W: int = 4,
+    iters: int = 50,
+) -> np.ndarray:
+    """``DECODER_BEC_SW_TWO_CROSS`` (dec.cpp:3009-3121): identical to
+    ``sliding_window_bec_two`` except the two waves do NOT stop at the
+    middle — the step loop runs t = 0..L-1 with the window ranges
+    clamped at the chain ends (dec.cpp:3090-3093), so each wave sweeps
+    the ENTIRE chain and crosses the other.  An erasure pattern that
+    needs context from the far half (e.g. a left-half run only peelable
+    right-to-left) resolves here but not under _TWO."""
+    w, b_v, L = chain.w, chain.b_v, chain.L
+    graph = _window_graph(chain, W)
+    work, B = _two_wave_work(chain, values, W)
+    win_n = (W + w) * b_v
+
+    for t in range(L):
+        lo = t * b_v
+        still = np.asarray(_peel_values(graph, work[:, lo : lo + win_n], iters))
+        work[:, lo : lo + win_n] = still
+
+        lo2 = max(0, (L - t - W + w)) * b_v
+        still2 = np.asarray(_peel_values(graph, work[:, lo2 : lo2 + win_n], iters))
+        work[:, lo2 : lo2 + win_n] = still2
+
+    return work[:, w * b_v : (w + L) * b_v].copy()
+
+
+def sliding_window_bec_two_indi(
+    chain: ScChain,
+    values,
+    W: int = 4,
+    iters: int = 50,
+) -> np.ndarray:
+    """``DECODER_BEC_SW_TWO_INDI`` (dec.cpp:3123-3260): the two waves of
+    _TWO run on INDEPENDENT decoder states (the reference copies H to H2
+    and keeps a separate dblk2 for the backward wave, so the waves never
+    exchange resolutions), and the output stitches the halves: variables
+    [0, N/2) from the forward wave, [N/2, N) from the backward wave
+    (dec.cpp:3243-3244).  A right-half erasure that only the FORWARD
+    wave can resolve (left context) therefore stays erased here —
+    distinguishing it from _TWO."""
+    w, b_v, L = chain.w, chain.b_v, chain.L
+    N = chain.n_vars
+    graph = _window_graph(chain, W)
+    work_f, B = _two_wave_work(chain, values, W)
+    work_b = work_f.copy()
+    win_n = (W + w) * b_v
+
+    for t in range(max(1, L // 2)):
+        lo = t * b_v
+        still = np.asarray(_peel_values(graph, work_f[:, lo : lo + win_n], iters))
+        work_f[:, lo : lo + win_n] = still
+
+        lo2 = max(0, L - t - W + w) * b_v
+        still2 = np.asarray(_peel_values(graph, work_b[:, lo2 : lo2 + win_n], iters))
+        work_b[:, lo2 : lo2 + win_n] = still2
+
+    out = work_f[:, w * b_v : (w + L) * b_v].copy()
+    out[:, N // 2 :] = work_b[:, w * b_v + N // 2 : w * b_v + N]
+    return out
+
+
+def sliding_window_bec_target(
+    chain: ScChain,
+    values,
+    W: int = 4,
+    iters: int = 50,
+) -> np.ndarray:
+    """``DECODER_BEC_SW_TARGET`` (dec.cpp:3394-3446): a first-window
+    PROBE — the reference initializes and iterates exactly one window
+    (checks [0, W), vars [0, W)) and returns; no sweep, no commit loop.
+    Used to measure how far the first window's wave reaches.  Returns
+    the value array after that single window peel (everything else
+    untouched)."""
     values = np.atleast_2d(np.asarray(values, np.int8))
     B = values.shape[0]
     w, b_v, L = chain.w, chain.b_v, chain.L
@@ -304,26 +430,80 @@ def sliding_window_bec_two(
     pad_l = np.zeros((B, w * b_v), np.int8)
     pad_r = np.zeros((B, (W - 1) * b_v), np.int8)
     work = np.concatenate([pad_l, values, pad_r], axis=1)
-    out = np.full((B, L * b_v), ERASE_MARK, np.int8)
+    win_n = (W + w) * b_v
+    still = np.asarray(_peel_values(graph, work[:, :win_n], iters))
+    work[:, :win_n] = still
+    return work[:, w * b_v : (w + L) * b_v].copy()
 
-    steps = (L + 1) // 2
-    for t in range(steps):
-        # forward window (anchor t, as the base recursion)
-        lo = t * b_v
-        still = np.asarray(_peel_values(graph, work[:, lo : lo + (W + w) * b_v], iters))
-        work[:, lo : lo + (W + w) * b_v] = still
 
-        # backward window (mirrored anchor, oldest active block L-1-t)
-        b2 = L - 1 - t
-        a2 = max(b2 - (W - 1), 0)  # window active blocks [a2, a2+W)
-        lo2 = a2 * b_v             # padded offset of var block a2-w
-        still2 = np.asarray(_peel_values(graph, work[:, lo2 : lo2 + (W + w) * b_v], iters))
-        work[:, lo2 : lo2 + (W + w) * b_v] = still2
+def bec_decode_save(
+    graph: LdpcGraph,
+    values,
+    block_sizes,
+    max_rounds: int = 200,
+):
+    """``DECODER_BEC_SAVE`` (dec.cpp:378-460 Run_BEC_Decoder_SAVE):
+    plain GLOBAL peeling (no window) instrumented with the position-BER
+    trace — before the first round and after every round, the erased
+    fraction of each spatial block is recorded (the reference's
+    ``test_BER(n, ...)`` per Mv block, the columns of its
+    POSITION_BER_ dumps), and the loop stops at stall (no change),
+    success, or max_rounds.
 
-    # the reference's _Two writes decisions into dblk in place and the
-    # final dblk is the output (no commit snapshots) — mirror that
-    out[:] = work[:, w * b_v : (w + L) * b_v]
-    return out
+    ``block_sizes``: per-block variable counts (the reference's Mv).
+    Returns (values, trace [n_rounds+1, n_blocks] float64, n_rounds)."""
+    values = np.atleast_2d(np.asarray(values, np.int8))
+    B = values.shape[0]
+    sizes = np.asarray(block_sizes, np.int64)
+    edges = np.concatenate([[0], np.cumsum(sizes)])
+    assert edges[-1] == graph.n_vars
+
+    def blk_trace(vals):
+        return [
+            float((vals[:, edges[b] : edges[b + 1]] == ERASE_MARK).mean())
+            for b in range(len(sizes))
+        ]
+
+    trace = [blk_trace(values)]
+    vals = values
+    n = 0
+    for n in range(1, max_rounds + 1):
+        new = np.asarray(_peel_values(graph, vals, 1))
+        trace.append(blk_trace(new))
+        if (new == vals).all():
+            break
+        vals = new
+    return vals, np.asarray(trace), n
+
+
+def bec_decode_target(
+    graph: LdpcGraph,
+    values,
+    target: tuple[int, int],
+    max_rounds: int = 200,
+):
+    """``DECODER_BEC_TARGET`` (dec.cpp:303-374 Run_BEC_Decoder_TARGET):
+    global peeling with an EXTRA early exit — stop as soon as every
+    variable in the 1-based inclusive ``target`` range [lo, hi] has
+    decoded to ZERO (the reference simulates the all-zero codeword, so
+    "target decoded to 0" means the watched span is recovered), in
+    addition to the stall / clean-syndrome / max-round exits.
+
+    Returns (values, n_rounds, target_clean)."""
+    values = np.atleast_2d(np.asarray(values, np.int8))
+    lo, hi = target[0] - 1, target[1]  # 1-based inclusive, as the reference
+    vals = values
+    n = 0
+    for n in range(1, max_rounds + 1):
+        new = np.asarray(_peel_values(graph, vals, 1))
+        tgt_clean = bool((new[:, lo:hi] == 0).all())
+        stalled = (new == vals).all()
+        vals = new
+        if tgt_clean or stalled:
+            break
+    else:
+        tgt_clean = bool((vals[:, lo:hi] == 0).all())
+    return vals, n, bool((vals[:, lo:hi] == 0).all())
 
 
 def sliding_window_bec_step(

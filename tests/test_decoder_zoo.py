@@ -263,6 +263,127 @@ def test_bec_sw_two_resolves_where_base_stalls():
     assert (two == 0).all()  # all-zero codeword recovered exactly
 
 
+def test_bec_sw_two_termination_anchored_run():
+    """The r4 advisor's counter-example: an erasure run extending to the
+    LAST variable block is unlockable only through the termination
+    checks [L, L+w). The reference's backward window is the index
+    REFLECTION (dec.cpp:2972-2977), so its first step anchors exactly
+    there; a forward-shaped backward window (checks [a2, a2+W)) strands
+    the run."""
+    from dna_ldpc_tpu.ops.scldpc import sliding_window_bec_two, _peel_values
+
+    L = 16
+    chain = _one_way_chain(L)
+    vals = _one_way_erasures(chain, rs=9, T=L - 1)  # run ends at t = L-1
+    g = LdpcGraph.from_sparse(chain.H)
+    oracle = np.asarray(_peel_values(g, vals.copy(), 300))
+    assert (oracle != ERASE_MARK).all()  # resolvable via the termination
+
+    two = sliding_window_bec_two(chain, vals.copy(), W=3, iters=60)
+    assert (two == ERASE_MARK).sum() == 0
+    assert (two == 0).all()
+
+
+def test_bec_sw_two_cross_sweeps_past_middle():
+    """_TWO_CROSS (dec.cpp:3009-3121) runs both waves over the FULL
+    chain (t < SC_L with end clamps) instead of stopping at SC_Ls: a
+    left-half stretch of a right-to-left-only run lies beyond the _TWO
+    backward wave's reach but resolves under _TWO_CROSS."""
+    from dna_ldpc_tpu.ops.scldpc import (
+        sliding_window_bec_two,
+        sliding_window_bec_two_cross,
+        _peel_values,
+    )
+
+    chain = _one_way_chain(16)
+    vals = _one_way_erasures(chain, rs=2, T=14)  # spans both halves
+    g = LdpcGraph.from_sparse(chain.H)
+    assert (np.asarray(_peel_values(g, vals.copy(), 300)) != ERASE_MARK).all()
+
+    two = sliding_window_bec_two(chain, vals.copy(), W=3, iters=60)
+    assert (two == ERASE_MARK).sum() > 0  # left stretch stranded
+
+    cross = sliding_window_bec_two_cross(chain, vals.copy(), W=3, iters=60)
+    assert (cross == ERASE_MARK).sum() == 0
+    assert (cross == 0).all()
+
+
+def test_bec_sw_two_indi_waves_do_not_share():
+    """_TWO_INDI (dec.cpp:3123-3260): the waves run on independent
+    decoder states (H2/dblk2) and the output stitches halves — so a
+    right-half run that only the FORWARD wave can peel (left-to-right
+    cascade; right entry blocked by an erased degree-1 neighbor) is
+    resolved by _TWO's shared state but stays erased in _TWO_INDI's
+    right half."""
+    from dna_ldpc_tpu.ops.scldpc import (
+        sliding_window_bec_two,
+        sliding_window_bec_two_indi,
+        _peel_values,
+    )
+
+    L = 16
+    chain = _one_way_chain(L)
+    # erase x_{t,0} for t in [5, 8] and x_{9,1}: a left-to-right cascade
+    # crossing the middle. The forward wave's windows (checks [t, t+3),
+    # t <= 7) peel it block by block; the backward wave's windows never
+    # reach check 5 and see two erasures everywhere else, so on its OWN
+    # state the right-half tail (x_{8,0}, x_{9,1}) stays erased
+    vals = np.zeros((1, chain.n_vars), np.int8)
+    for t in range(5, 9):
+        vals[0, 2 * t] = ERASE_MARK
+    vals[0, 2 * 9 + 1] = ERASE_MARK
+    g = LdpcGraph.from_sparse(chain.H)
+    assert (np.asarray(_peel_values(g, vals.copy(), 300)) != ERASE_MARK).all()
+
+    two = sliding_window_bec_two(chain, vals.copy(), W=3, iters=60)
+    assert (two == ERASE_MARK).sum() == 0
+
+    indi = sliding_window_bec_two_indi(chain, vals.copy(), W=3, iters=60)
+    assert (indi == ERASE_MARK).sum() > 0     # forward-only resolutions discarded
+    resolved = indi != ERASE_MARK
+    assert (indi[resolved] == 0).all()        # but never wrong
+
+
+def test_bec_global_save_and_target():
+    """DECODER_BEC_SAVE / DECODER_BEC_TARGET (dec.cpp:378-460 /
+    303-374): global peeling with a per-round position-BER trace, and
+    with the target-range all-zero early exit."""
+    from dna_ldpc_tpu.ops.scldpc import bec_decode_save, bec_decode_target
+
+    L = 16
+    chain = _one_way_chain(L)
+    vals = _one_way_erasures(chain, rs=9, T=14)
+    g = LdpcGraph.from_sparse(chain.H)
+    block_sizes = [chain.b_v] * L
+
+    out, trace, n = bec_decode_save(g, vals.copy(), block_sizes)
+    assert (out == 0).all()
+    assert trace.shape == (n + 1, L)
+    assert trace[0].sum() > 0 and trace[-1].sum() == 0
+    # erased fractions are non-increasing round over round
+    assert (np.diff(trace, axis=0) <= 1e-12).all()
+
+    # the run peels right-to-left one variable per round: watching the
+    # run's RIGHT end exits rounds earlier than full resolution
+    out_t, n_t, clean = bec_decode_target(g, vals.copy(), target=(29, 30))
+    assert clean and n_t < n
+    assert (out_t[:, 28:30] == 0).all()
+
+
+def test_bec_sw_target_first_window_probe():
+    """DECODER_BEC_SW_TARGET (dec.cpp:3394-3446) decodes exactly ONE
+    window (checks [0, W)) and stops — later blocks stay untouched."""
+    from dna_ldpc_tpu.ops.scldpc import sliding_window_bec_target
+
+    chain = _one_way_chain(16)
+    vals = np.zeros((1, chain.n_vars), np.int8)
+    vals[0, 2 * 1] = ERASE_MARK     # in the first window: resolvable
+    vals[0, 2 * 12] = ERASE_MARK    # far outside: must stay erased
+    out = sliding_window_bec_target(chain, vals, W=3, iters=60)
+    assert out[0, 2 * 1] == 0
+    assert out[0, 2 * 12] == ERASE_MARK
+
+
 def test_bec_sw_step_stride_semantics():
     """_STEP (Run_BEC_SW_Decoder_Step): stride-eta advance. eta=1 is
     exactly the base recursion; eta=3 trades look-ahead for 1/3 the

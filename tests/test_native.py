@@ -99,17 +99,17 @@ def test_native_align_matches_python_path():
         assert nat == py
 
 
-def test_native_sparse_posts_match_dense():
+def test_native_sparse_posts_match_dense(monkeypatch):
     """msa_progressive_refine_sp (sparse top-k transport, no host
     densification) must be bit-identical to the dense-posterior entry:
     within a pair every sparse entry hits a distinct BuildPost cell, so
     only the unchanged profile-row loop order affects f32 sums."""
-    import os
-
     from dna_ldpc_tpu.ops.msa.align import align, cluster_pairs, upgma_join_order
     from dna_ldpc_tpu.ops.msa.pairhmm import batch_posteriors_sparse, densify_sparse
 
-    os.environ.setdefault("DNA_LDPC_PAIRHMM", "xla")
+    # scoped via monkeypatch so a TPU test run doesn't silently force the
+    # XLA pair-HMM path for every later test in the process
+    monkeypatch.setenv("DNA_LDPC_PAIRHMM", "xla")
     rng = random.Random(23)
 
     def mutate(s, k):
