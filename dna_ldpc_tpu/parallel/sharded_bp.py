@@ -257,10 +257,25 @@ def make_sharded_blocked_decoder(code, mesh: Mesh, max_iter: int = 200):
         check_vma=False,
     )
 
+    # the routing operators (~150 MB each at the deployed shape) are
+    # uploaded ONCE as sharded device arrays and passed as jit ARGUMENTS
+    # — closed over as numpy they would be inlined into the serialized
+    # HLO as constants, blowing the compile request past any remote
+    # compile service's body limit
+    R_dev = jax.device_put(
+        jnp.asarray(R_vc), NamedSharding(mesh, P(GRAPH_AXIS))
+    )
+    A_dev = jax.device_put(
+        jnp.asarray(A_sum4), NamedSharding(mesh, P(None, None, GRAPH_AXIS, None))
+    )
+
     @jax.jit
-    def decode(llr):
-        bits, success, iters, unsat = mapped(llr, R_vc, A_sum4)
+    def decode_impl(llr, R, A):
+        bits, success, iters, unsat = mapped(llr, R, A)
         return BpResult(bits=bits, success=success, iterations=iters, unsat=unsat)
+
+    def decode(llr):
+        return decode_impl(llr, R_dev, A_dev)
 
     return decode
 

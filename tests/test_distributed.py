@@ -36,6 +36,7 @@ from dna_ldpc_tpu.models import LdpcGraph
 from dna_ldpc_tpu.models.rs_ldpc import build_rs_ldpc
 
 coord, pid, out_path = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+kind = sys.argv[4] if len(sys.argv) > 4 else "toy"
 distributed.initialize(coordinator_address=coord, num_processes=2, process_id=pid)
 assert jax.process_count() == 2, jax.process_count()
 assert len(jax.devices()) == 8  # 2 processes x 4 virtual CPU devices
@@ -46,9 +47,19 @@ assert mesh.devices.shape == (2, 4)
 for row in mesh.devices:
     assert len({d.process_index for d in row}) == 1
 
-H = build_rs_ldpc(4, 8, 4)
+if kind == "flagship":
+    # the DEPLOYED 2048x18432 graph crossing a process boundary
+    # (COLLECT_MPI intent, DNA_main.cpp:1187-1193): codewords split
+    # across the two processes, the n-axis sharded within each
+    from dna_ldpc_tpu.models.rs_ldpc import dna_storage_pchk
+
+    H = dna_storage_pchk()
+    max_iter = 2
+else:
+    H = build_rs_ldpc(4, 8, 4)
+    max_iter = 20
 graph = LdpcGraph.from_sparse(H)
-decode = make_sharded_decoder(graph, mesh, max_iter=20)
+decode = make_sharded_decoder(graph, mesh, max_iter=max_iter)
 
 rng = np.random.default_rng(0)
 mag = np.log(0.98 / 0.02)
@@ -79,11 +90,10 @@ def _free_port() -> int:
     return port
 
 
-@pytest.mark.slow
-def test_two_process_sharded_decode(tmp_path):
+def _run_two_process(tmp_path, kind: str, timeout: int) -> str:
     port = _free_port()
     coord = f"127.0.0.1:{port}"
-    out_path = str(tmp_path / "out.npz")
+    out_path = str(tmp_path / f"out_{kind}.npz")
     script = tmp_path / "worker.py"
     script.write_text(WORKER)
 
@@ -94,7 +104,7 @@ def test_two_process_sharded_decode(tmp_path):
 
     procs = [
         subprocess.Popen(
-            [sys.executable, str(script), coord, str(pid), out_path],
+            [sys.executable, str(script), coord, str(pid), out_path, kind],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         )
         for pid in range(2)
@@ -102,7 +112,7 @@ def test_two_process_sharded_decode(tmp_path):
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=420)
+            out, _ = p.communicate(timeout=timeout)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -111,23 +121,48 @@ def test_two_process_sharded_decode(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
         assert f"WORKER_OK {pid}" in out
+    return out_path
 
-    # the 2-process result matches a single-process decode bit-for-bit
-    data = np.load(out_path)
-    from dna_ldpc_tpu.models import LdpcGraph
-    from dna_ldpc_tpu.models.rs_ldpc import build_rs_ldpc
-    from dna_ldpc_tpu.ops.bp import bp_decode
 
+def _reference_decode(H, max_iter):
     import jax.numpy as jnp
 
-    H = build_rs_ldpc(4, 8, 4)
+    from dna_ldpc_tpu.models import LdpcGraph
+    from dna_ldpc_tpu.ops.bp import bp_decode
+
     graph = LdpcGraph.from_sparse(H)
     rng = np.random.default_rng(0)
     mag = np.log(0.98 / 0.02)
     cov = rng.poisson(3.7, (4, H.n_cols))
     errs = rng.binomial(cov, 0.02)
     llr = ((cov - 2 * errs) * mag).astype(np.float32)
-    ref = bp_decode(graph, jnp.asarray(llr), max_iter=20)
+    return bp_decode(graph, jnp.asarray(llr), max_iter=max_iter)
+
+
+@pytest.mark.slow
+def test_two_process_sharded_decode(tmp_path):
+    out_path = _run_two_process(tmp_path, "toy", 420)
+
+    # the 2-process result matches a single-process decode bit-for-bit
+    data = np.load(out_path)
+    from dna_ldpc_tpu.models.rs_ldpc import build_rs_ldpc
+
+    ref = _reference_decode(build_rs_ldpc(4, 8, 4), 20)
+    np.testing.assert_array_equal(data["bits"], np.asarray(ref.bits))
+    np.testing.assert_array_equal(data["success"], np.asarray(ref.success))
+
+
+@pytest.mark.slow
+def test_two_process_flagship_decode(tmp_path):
+    """The DEPLOYED 2048x18432 graph across a real process boundary
+    (max_iter=2 keeps the CPU cost bounded), bit-identical to the
+    single-process decoder."""
+    out_path = _run_two_process(tmp_path, "flagship", 900)
+
+    data = np.load(out_path)
+    from dna_ldpc_tpu.models.rs_ldpc import dna_storage_pchk
+
+    ref = _reference_decode(dna_storage_pchk(), 2)
     np.testing.assert_array_equal(data["bits"], np.asarray(ref.bits))
     np.testing.assert_array_equal(data["success"], np.asarray(ref.success))
 
