@@ -822,11 +822,17 @@ def _align_clusters_device(
         return chunk_cache[ci]
 
     def ensure_ea():
-        for ci in sorted(ea_pending):
+        if not ea_pending:
+            return
+        # ONE stacked download for all pending chunks' EA scores (each
+        # sync is a full relay round trip)
+        cis = sorted(ea_pending)
+        stacked = np.asarray(jnp.stack([ea_pending[ci] for ci in cis]))
+        for k, ci in enumerate(cis):
             lo = ci * pair_chunk
             take = max(0, min(pair_chunk, ntot - lo))
             if take:
-                ea_arr[lo : lo + take] = np.asarray(ea_pending[ci])[:take]
+                ea_arr[lo : lo + take] = stacked[k, :take]
             del ea_pending[ci]
 
     # per-bucket cluster capacity: bounds the resident transformed-

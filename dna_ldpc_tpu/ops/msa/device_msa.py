@@ -399,10 +399,20 @@ def _msa_refine(Pblock, cpos, width, frozen, ovf, rA, rows_pc, Cmax, L, nb):
 
 
 @jax.jit
-def _msa_readout(cpos, width):
-    """Compact download form: uint8 cpos (L <= 254) + per-cluster final
-    width (max over sequences; sequences share one node by now)."""
-    return cpos.astype(jnp.uint8), jnp.max(width, axis=1)
+def _msa_readout(cpos, width, ovf):
+    """ONE packed uint8 download per batch (each host<->device sync
+    costs a full relay round trip): [C, nb*(Cmax+1) + 3] = flattened
+    uint8 cpos (L <= 254), final width as 2 little-endian bytes (max
+    over sequences; they share one node by now), overflow flag."""
+    C = cpos.shape[0]
+    w = jnp.max(width, axis=1)
+    wlo = (w & 0xFF).astype(jnp.uint8)[:, None]
+    whi = ((w >> 8) & 0xFF).astype(jnp.uint8)[:, None]
+    return jnp.concatenate(
+        [cpos.astype(jnp.uint8).reshape(C, -1), wlo, whi,
+         ovf.astype(jnp.uint8)[:, None]],
+        axis=1,
+    )
 
 
 @functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
@@ -455,11 +465,10 @@ class MsaJob:
     host-side work (joins, mask building) with this one's device
     compute."""
 
-    def __init__(self, seqs_list, cpos_u8, width, ovf, L):
+    def __init__(self, seqs_list, packed, nb, L):
         self._seqs = seqs_list
-        self._cpos = cpos_u8
-        self._width = width
-        self._ovf = ovf
+        self._packed = packed
+        self._nb = nb
         self._L = L
 
     def collect(self):
@@ -468,11 +477,16 @@ class MsaJob:
         matching align()'s output contract."""
         L = self._L
         C_true = len(self._seqs)
-        # download full padded tensors (fixed shapes; slicing on device
-        # with a trial-varying C_true would recompile per super-batch)
-        cpos_np = np.asarray(self._cpos)[:C_true]
-        width_np = np.asarray(self._width)[:C_true]
-        ovf_np = np.asarray(self._ovf)[:C_true]
+        # ONE download of the full padded packed tensor (fixed shape;
+        # device-side slicing with a trial-varying C_true would
+        # recompile per super-batch, and each extra sync costs a relay
+        # round trip)
+        packed = np.asarray(self._packed)[:C_true]
+        cpos_np = packed[:, :-3].reshape(C_true, self._nb, -1)
+        width_np = packed[:, -3].astype(np.int32) | (
+            packed[:, -2].astype(np.int32) << 8
+        )
+        ovf_np = packed[:, -1].astype(bool)
         out: list = []
         for c, seqs in enumerate(self._seqs):
             if ovf_np[c]:
@@ -561,8 +575,7 @@ def start_msa_batch(
             jnp.asarray(rows_pc), Cmax, L, nb,
         )
 
-    cpos_u8, width_out = _msa_readout(cpos, width)
-    return MsaJob(seqs_list, cpos_u8, width_out, ovf, L)
+    return MsaJob(seqs_list, _msa_readout(cpos, width, ovf), nb, L)
 
 
 def run_msa_batch(
