@@ -838,7 +838,7 @@ def _align_clusters_device(
     # per-bucket cluster capacity: bounds the resident transformed-
     # posterior tensor to ~1.3 GB f32 (power of two for the chunked
     # BuildPost gather)
-    C_CAPS = {2: 4096, 4: 2048, 8: 512, 16: 128, 32: 16}
+    C_CAPS = {2: 4096, 4: 2048, 8: 512, 12: 256, 16: 128, 32: 16}
 
     def cluster_joins(c):
         seqs = clusters[c]

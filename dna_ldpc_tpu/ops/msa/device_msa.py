@@ -36,24 +36,30 @@ representation:
 - projection = compact the columns where any selected row has a letter
   (a cumsum + two gathers); for progressive merges the operands are
   already compact so this is the identity;
-- BuildPost = a two-axis gather from the zero-padded [L+1, L+1] pair
-  posteriors through the projected column->position maps, summed over
-  the cluster's pairs (each pair oriented by which side holds seq i);
+- BuildPost = ``EA @ Pblock @ EB^T``: the cluster's pair posteriors are
+  arranged ONCE per super-batch as a symmetric per-sequence block
+  matrix (build_pblock), and each merge builds one-hot (side-masked)
+  column->position expansion matrices and runs two large batched MXU
+  matmuls — per-pair gathers lower to scalar loops on TPU, matmuls fly;
 - the MEA DP runs over antidiagonals (one [C, W] slab per step,
-  lax.scan) emitting a per-cell choice-code plane, and the traceback is
-  a reverse scan walking one cell per diagonal — every step is a full
-  vector op over the cluster batch;
+  lax.scan, operands streamed from a pad+reshape "skew trick" plane —
+  no gathers) emitting a per-cell choice-code plane, and the traceback
+  is a reverse scan walking one cell per diagonal — every step is a
+  full vector op over the cluster batch;
 - gap insertion = remap cpos through the path's column maps (cumsum +
   scatter + gather).
 
 Exactness: the MEA recurrence, tie preference, boundary codes,
 projection, and convergence rule match the host path (ops/msa/align.py
-+ native/ingest.cpp) operation for operation.  The one divergence is
-float summation ORDER in BuildPost (the host sums profile-row pairs in
-row order, the device reduces over the pair axis), which can flip
-exact-tie traceback choices when >= 3 reads overlap a cell; clusters of
-2 sequences are bit-identical.  End-to-end trial outcomes are parity-
-tested against the host path (tests/test_device_msa.py).
++ native/ingest.cpp) operation for operation.  Two divergences, both
+confined to BuildPost: float summation ORDER (the host sums
+profile-row pairs in row order, the device contracts over the block
+axis) and bf16 MXU input rounding (~2^-9 relative; the one-hot
+operands are exact).  Either can flip exact-tie traceback choices when
+>= 3 reads overlap a cell; clusters of 2 sequences see a single pair
+and no near-ties in practice.  Per-cluster outputs match the host
+aligner exactly on the seeded test workloads, and end-to-end trial
+outcomes are parity-tested (tests/test_device_msa.py).
 """
 
 from __future__ import annotations
@@ -69,10 +75,11 @@ NEG = np.float32(-3.0e38)
 
 # cluster-size buckets for the device MSA programs (fewer than the
 # consistency N_BUCKETS: each bucket compiles its own merge scans —
-# compiles through the remote TPU service are expensive — so n is
-# padded to the next power-of-two size instead; zero pair blocks and
-# all-false masks make pad slots inert)
-MSA_BUCKETS = (2, 4, 8, 16, 32)
+# compiles through the remote TPU service are expensive — so n pads up
+# to the next bucket; zero pair blocks and all-false masks make pad
+# slots inert. 12 exists for the double-coverage regime, where n=9..12
+# clusters dominate and the jump to npair=120 would cost 2-3x padding)
+MSA_BUCKETS = (2, 4, 8, 12, 16, 32)
 
 
 def _round_up(x: int, m: int) -> int:
