@@ -81,6 +81,106 @@ def edit_distance_pairs(
     return dists
 
 
+def _edit_pairs_device_impl(seqs, lens, pa, pb):
+    """Antidiagonal edit-distance DP as one jitted program (all pairs of
+    a trial in a single dispatch; the pair gathers happen in-program so
+    every op shares one compiled executable).  Same recurrence and cell
+    layout as the numpy sweep above; distances are integers, so results
+    are bit-identical."""
+    import jax
+    import jax.numpy as jnp
+
+    A = jnp.take(seqs, pa, axis=0)
+    B = jnp.take(seqs, pb, axis=0)
+    la = jnp.take(lens, pa)
+    lb = jnp.take(lens, pb)
+    P, L = A.shape
+    INF = jnp.int32(1 << 20)
+    lane = jnp.arange(L + 1, dtype=jnp.int32)[None, :]
+    # ai[p, i] = A[p, i-1] (constant across diagonals)
+    ai = jnp.concatenate([jnp.zeros((P, 1), A.dtype), A], axis=1)
+    done_d = (la + lb).astype(jnp.int32)
+
+    def shr(x):
+        return jnp.concatenate([jnp.full((P, 1), INF), x[:, :-1]], axis=1)
+
+    def body(carry, d):
+        prev2, prev1, yd, dist = carry
+        # yd[p, i] = B[p, d-1-i]: one roll + a dynamic column insert
+        bcol = jax.lax.dynamic_slice_in_dim(B, jnp.minimum(d - 1, L - 1), 1, axis=1)
+        yd = jnp.where(lane == 0, bcol, jnp.roll(yd, 1, axis=1))
+        j = d - lane
+        del_ = shr(prev1)
+        ins_ = prev1
+        sub_ = shr(prev2)
+        eq = (ai == yd) & (lane >= 1) & (j >= 1)
+        cost = jnp.minimum(jnp.minimum(del_, ins_), sub_) + 1
+        cost = jnp.where(eq, jnp.minimum(cost, sub_), cost)
+        dle = d <= L
+        cost = jnp.where((lane == 0) & dle, d, cost)
+        cost = jnp.where((lane == d) & dle, d, cost)
+        cost = jnp.where(j < 0, INF, cost)
+        hit = done_d == d
+        cell = jnp.sum(jnp.where(lane == la[:, None], cost, 0), axis=1)
+        dist = jnp.where(hit, cell, dist)
+        return (prev1, cost, yd, dist), None
+
+    prev2 = jnp.full((P, L + 1), INF).at[:, 0].set(0)
+    prev1 = jnp.full((P, L + 1), INF).at[:, 0].set(1).at[:, 1].set(1)
+    yd0 = jnp.where(lane == 0, B[:, :1].astype(jnp.int32), 0).astype(A.dtype)
+    dist0 = jnp.where(done_d <= 1, done_d, 0)
+    (_, _, _, dist), _ = jax.lax.scan(
+        body, (prev2, prev1, yd0, dist0), jnp.arange(2, 2 * L + 1, dtype=jnp.int32)
+    )
+    return dist
+
+
+def edit_distance_pairs_device(
+    seqs: np.ndarray, lengths: np.ndarray, pairs_a: np.ndarray,
+    pairs_b: np.ndarray, min_pairs: int = 4096, min_reads: int = 4096,
+) -> np.ndarray:
+    """TPU path for the trial-wide edit-distance pre-filter: ships the
+    (deduplicated) read byte matrix + pair index lists to the device and
+    runs every pair's DP in ONE dispatch — the upload is ~1.5 MB where
+    shipping per-pair matrices would be ~13 MB through the thin relay.
+    The pair AND read axes pad to power-of-two buckets so a trial reuses
+    a handful of compiled shapes (every eager op with a trial-varying
+    shape would recompile through the remote compile service).
+    Bit-identical to edit_distance_pairs (integer DP)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    P = len(pairs_a)
+    if P == 0:
+        return np.zeros(0, dtype=np.int32)
+
+    @functools.lru_cache(maxsize=1)
+    def jitted():
+        return jax.jit(_edit_pairs_device_impl)
+
+    n, L = seqs.shape
+    # callers with a known workload scale pass min_pairs/min_reads at
+    # their steady-state size so every trial reuses ONE compiled shape
+    # (each new bucket costs a full scan compile through the remote
+    # compile service)
+    nb = max(min_reads, 1 << int(np.ceil(np.log2(n))))
+    Pb = max(min_pairs, 1 << int(np.ceil(np.log2(P))))
+    seqs_p = np.zeros((nb, L), seqs.dtype)
+    seqs_p[:n] = seqs
+    lens_p = np.zeros(nb, np.int32)
+    lens_p[:n] = lengths
+    pa = np.zeros(Pb, np.int32)
+    pb = np.zeros(Pb, np.int32)
+    pa[:P] = pairs_a
+    pb[:P] = pairs_b
+    dist = jitted()(
+        jnp.asarray(seqs_p), jnp.asarray(lens_p), jnp.asarray(pa), jnp.asarray(pb)
+    )
+    return np.asarray(dist)[:P].astype(np.int32)
+
+
 def edit_distance(s1: str, s2: str) -> int:
     """Scalar convenience wrapper (test parity with def_func.edit_dist)."""
     from ..utils.dna import seqs_to_matrix

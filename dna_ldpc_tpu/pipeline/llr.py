@@ -289,9 +289,36 @@ def _process_mixed_clusters_batched(
     pa = np.asarray(pa, np.int64)
     pb = np.asarray(pb, np.int64)
 
+    import os
+
     from .. import native_lib
 
-    if native_lib.available():
+    use_device_ed = False
+    if len(pa) and os.environ.get("DNA_LDPC_EDITDIST", "auto") != "host":
+        try:
+            import jax
+
+            use_device_ed = jax.default_backend() != "cpu"
+        except Exception:
+            use_device_ed = False
+    if use_device_ed:
+        # TPU path: dedupe to the reads that actually appear in pairs
+        # (a few MB instead of the whole trial's matrix), one dispatch
+        from ..ops.editdist import edit_distance_pairs_device
+
+        uniq, inv = np.unique(np.concatenate([pa, pb]), return_inverse=True)
+        sub = [filtered.payloads[i] for i in uniq]
+        lengths = np.array([len(p) for p in sub], dtype=np.int64)
+        # fixed matrix width: one compiled DP per pair-count bucket
+        # instead of one per trial-dependent max read length
+        pad = max(32, -(-int(lengths.max(initial=1)) // 32) * 32)
+        mat = dna.seqs_to_matrix(sub, pad=pad, fill=b"\x00")
+        dists = edit_distance_pairs_device(
+            mat, lengths, inv[: len(pa)].astype(np.int64),
+            inv[len(pa) :].astype(np.int64),
+            min_pairs=65536, min_reads=32768,  # one compiled trial shape
+        )
+    elif native_lib.available():
         lengths = np.array([len(p) for p in filtered.payloads], dtype=np.int32)
         offsets = np.zeros(len(lengths), dtype=np.int64)
         if len(lengths) > 1:

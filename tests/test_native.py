@@ -67,6 +67,23 @@ def test_native_edit_distance_matches_numpy():
     assert np.array_equal(got, want)
 
 
+def test_device_edit_distance_matches_numpy():
+    """The one-dispatch device DP (ops/editdist.edit_distance_pairs_device)
+    is an integer recurrence — results must be bit-identical to the
+    numpy sweep, including empty strings and maximal-length pairs."""
+    from dna_ldpc_tpu.ops.editdist import edit_distance_pairs_device
+
+    rng = random.Random(5)
+    seqs = [_rand_read(rng, rng.randint(0, 40)) for _ in range(40)]
+    seqs[0] = ""  # empty-vs-nonempty boundary cells
+    mat = seqs_to_matrix(seqs, fill=b"\x00")
+    lens = np.array([len(s) for s in seqs], dtype=np.int64)
+    a, b = np.triu_indices(40, k=1)
+    want = edit_distance_pairs(mat, lens, a, b)
+    got = edit_distance_pairs_device(mat, lens, a, b)
+    assert np.array_equal(got, want)
+
+
 def test_native_align_matches_python_path():
     """align(use_native=True) and align(use_native=False) must produce
     identical rows: the C++ progressive-alignment+refine port
