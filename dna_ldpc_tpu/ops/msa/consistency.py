@@ -54,12 +54,22 @@ def _consistency_device(pair_mats, inv_n, n, iters):
     return _consistency_core(pair_mats, inv_n, n, iters)
 
 
-def _consistency_core(pair_mats, inv_n, n, iters):
+def _consistency_core(pair_mats, inv_n, n, iters, precision=None):
     """pair_mats: [C, n*(n-1)/2, L, L] stacked i<j pair posteriors (zero
     padded; n is the BUCKET size). inv_n: [C] per-cluster 1/n_true.
-    Returns the transformed pairs in the same layout."""
+    Returns the transformed pairs in the same layout.
+
+    ``precision`` defaults to HIGHEST: the default matmul precision
+    rounds inputs to bf16 on TPU, drifting ~2.6e-3 from the host/
+    reference loop and flipping MEA traceback ties; full f32 keeps the
+    batched path within ~1e-5 of align()'s host loop.  The fully
+    device-resident MSA path passes DEFAULT instead (6-8x faster on the
+    MXU): its BuildPost consumes bf16 operands anyway, so the f32
+    passes would buy precision the downstream immediately rounds off."""
     C, npair, L, _ = pair_mats.shape
     ii, jj = np.triu_indices(n, k=1)
+    if precision is None:
+        precision = jax.lax.Precision.HIGHEST
 
     # scatter pairs into the block tensor A[c, i, j, a, b]
     A = jnp.zeros((C, n, n, L, L), pair_mats.dtype)
@@ -70,13 +80,9 @@ def _consistency_core(pair_mats, inv_n, n, iters):
     for _ in range(iters):
         # sum_z A[i,z] @ A[z,j]; the z == i and z == j terms vanish
         # because the diagonal blocks are zero
-        # precision=HIGHEST: the default matmul precision rounds inputs to
-        # bf16 on TPU, drifting ~2.6e-3 from the host/reference loop and
-        # flipping MEA traceback ties; full f32 keeps the batched path
-        # within ~1e-5 of align()'s host loop
         S = jnp.einsum(
             "cizab,czjbd->cijad", A, A, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=precision,
         )
         A = jnp.where(A < MIN_SPARSE_PROB, 0.0, (2.0 * A + S) * scale)
 

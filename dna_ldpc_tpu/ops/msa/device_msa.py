@@ -442,6 +442,10 @@ def assemble_transform(chunks, ids, mask, inv_n, nb, iters, C_cap, L):
     sel = sel.astype(jnp.bfloat16).astype(jnp.float32)
     pm = sel.reshape(C_cap, npair, L, L)
     if iters and nb >= 3:
+        # DEFAULT matmul precision: BuildPost consumes bf16 operands, so
+        # HIGHEST's 6 f32 passes buy nothing downstream (see
+        # _consistency_core's docstring)
+        prec = jax.lax.Precision.DEFAULT
         # chunk the block-matmul transform over clusters: its
         # [ck, nb, nb, L, L] intermediates are nb^2/npair times larger
         # than the pair tensor itself
@@ -450,14 +454,14 @@ def assemble_transform(chunks, ids, mask, inv_n, nb, iters, C_cap, L):
             ck -= 1
         if C_cap > ck:
             pm = jax.lax.map(
-                lambda args: _consistency_core(args[0], args[1], nb, iters),
+                lambda args: _consistency_core(args[0], args[1], nb, iters, prec),
                 (
                     pm.reshape(C_cap // ck, ck, npair, L, L),
                     inv_n.reshape(C_cap // ck, ck),
                 ),
             ).reshape(C_cap, npair, L, L)
         else:
-            pm = _consistency_core(pm, inv_n, nb, iters)
+            pm = _consistency_core(pm, inv_n, nb, iters, prec)
     return jnp.pad(pm, ((0, 0), (0, 0), (0, 1), (0, 1)))
 
 
