@@ -838,6 +838,9 @@ def _align_clusters_device(
     # per-bucket cluster capacity: bounds the resident transformed-
     # posterior tensor to ~1.3 GB f32 (power of two for the chunked
     # BuildPost gather)
+    # bounded by the bf16 Pblock tensors (up to ~1.7 GB per batch, TWO
+    # batches in flight under the dispatch pipeline, plus build_pblock's
+    # own intermediates of the same size)
     C_CAPS = {2: 4096, 4: 2048, 8: 512, 12: 256, 16: 128, 32: 16}
 
     def cluster_joins(c):

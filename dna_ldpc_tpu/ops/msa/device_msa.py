@@ -431,8 +431,10 @@ def assemble_transform(chunks, ids, mask, inv_n, nb, iters, C_cap, L):
     path's sparse transport would carry), and apply the consistency
     transform for buckets of >= 3 sequences.  ``ids`` are
     window-relative flat pair indices (mask covers pad slots).
-    Returns [C_cap, npair, L+1, L+1] f32 with zero-padded gap
-    row/col."""
+    Returns [C_cap, npair, L+1, L+1] bf16 with zero-padded gap row/col
+    (bf16 at rest: the only consumer is build_pblock, whose matmul
+    operands are bf16 — and the transformed values feed BuildPost's
+    bf16 MXU inputs either way)."""
     from .consistency import _consistency_core
 
     npair = nb * (nb - 1) // 2
@@ -462,7 +464,7 @@ def assemble_transform(chunks, ids, mask, inv_n, nb, iters, C_cap, L):
             ).reshape(C_cap, npair, L, L)
         else:
             pm = _consistency_core(pm, inv_n, nb, iters, prec)
-    return jnp.pad(pm, ((0, 0), (0, 0), (0, 1), (0, 1)))
+    return jnp.pad(pm.astype(jnp.bfloat16), ((0, 0), (0, 0), (0, 1), (0, 1)))
 
 
 # ---------------------------------------------------------------------------
