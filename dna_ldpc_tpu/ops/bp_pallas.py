@@ -361,6 +361,7 @@ def _bp_pallas_aot(code, max_iter: int, early_stop: bool, Bc: int, B: int,
     plain jit path on any export/deserialize failure (version skew,
     corrupt file)."""
     import hashlib
+    import inspect
     import os
 
     from jax import export as jexport
@@ -372,6 +373,10 @@ def _bp_pallas_aot(code, max_iter: int, early_stop: bool, Bc: int, B: int,
         f"{max_iter}|{early_stop}|{Bc}|{B}|{in_dtype}|"
         f"{jax.__version__}|{jax.default_backend()}".encode()
     )
+    # fingerprint the kernel IMPLEMENTATION so editing it invalidates
+    # stale artifacts (otherwise old StableHLO keeps decoding silently)
+    ident.update(inspect.getsource(_bp_kernel).encode())
+    ident.update(inspect.getsource(_bp_pallas_call).encode())
     cache_dir = os.path.join(
         os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
         "dna_ldpc_tpu",
@@ -389,9 +394,11 @@ def _bp_pallas_aot(code, max_iter: int, early_stop: bool, Bc: int, B: int,
     try:
         exp = jexport.export(fn)(jax.ShapeDtypeStruct((B, N), jnp.dtype(in_dtype)))
         os.makedirs(cache_dir, exist_ok=True)
-        tmp = path + ".tmp"
-        with open(tmp, "wb") as f:
-            f.write(exp.serialize())
+        import tempfile
+
+        fd, tmp = tempfile.mkstemp(dir=cache_dir, suffix=".tmp")
+        with os.fdopen(fd, "wb") as f:  # unique tmp: concurrent cold
+            f.write(exp.serialize())    # starts must not interleave
         os.replace(tmp, path)
         return exp.call
     except Exception:

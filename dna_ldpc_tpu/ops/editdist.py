@@ -135,6 +135,9 @@ def _edit_pairs_device_impl(seqs, lens, pa, pb):
     return dist
 
 
+_EDIT_JIT = None  # module-level jit wrapper (one trace cache per process)
+
+
 def edit_distance_pairs_device(
     seqs: np.ndarray, lengths: np.ndarray, pairs_a: np.ndarray,
     pairs_b: np.ndarray, min_pairs: int = 4096, min_reads: int = 4096,
@@ -147,18 +150,16 @@ def edit_distance_pairs_device(
     a handful of compiled shapes (every eager op with a trial-varying
     shape would recompile through the remote compile service).
     Bit-identical to edit_distance_pairs (integer DP)."""
-    import functools
-
     import jax
     import jax.numpy as jnp
+
+    global _EDIT_JIT
+    if _EDIT_JIT is None:
+        _EDIT_JIT = jax.jit(_edit_pairs_device_impl)
 
     P = len(pairs_a)
     if P == 0:
         return np.zeros(0, dtype=np.int32)
-
-    @functools.lru_cache(maxsize=1)
-    def jitted():
-        return jax.jit(_edit_pairs_device_impl)
 
     n, L = seqs.shape
     # callers with a known workload scale pass min_pairs/min_reads at
@@ -175,7 +176,7 @@ def edit_distance_pairs_device(
     pb = np.zeros(Pb, np.int32)
     pa[:P] = pairs_a
     pb[:P] = pairs_b
-    dist = jitted()(
+    dist = _EDIT_JIT(
         jnp.asarray(seqs_p), jnp.asarray(lens_p), jnp.asarray(pa), jnp.asarray(pb)
     )
     return np.asarray(dist)[:P].astype(np.int32)

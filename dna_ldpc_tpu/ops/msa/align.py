@@ -766,7 +766,6 @@ def _align_clusters_device(
         if n == 0:
             out[c] = []
             continue
-        maxlen = max(maxlen, max(len(s) for s in clusters[c]))
         if n == 1:
             out[c] = [(0, clusters[c][0])]
         elif n > MSA_BUCKETS[-1]:
@@ -774,6 +773,10 @@ def _align_clusters_device(
         else:
             nb = next(b for b in MSA_BUCKETS if b >= n)
             by_bucket.setdefault(nb, []).append(c)
+            # only reads that reach the device pair/merge programs set
+            # the padding (singleton and oversized-fallback clusters
+            # never do, and must not inflate Lmax or trip its bound)
+            maxlen = max(maxlen, max(len(s) for s in clusters[c]))
 
     Lmax = max(32, -(-maxlen // 32) * 32)
     if Lmax > 254:  # uint8 column-map transport bound
@@ -885,6 +888,7 @@ def _align_clusters_device(
             p_hi = span[batch[-1]][1]
 
             t0 = _time.time()
+            ph_before = timings.get("pairhmm", 0.0)
             # FIXED-length chunk window per bucket (out-of-range slots
             # repeat the last chunk; their pair slots are masked) — one
             # compiled assemble program per bucket, trial-independent
@@ -908,7 +912,11 @@ def _align_clusters_device(
                 nb, iters_b, C_cap, Lmax,
             )
             del chunks
-            _tick("consistency", t0)
+            # book the window sweep minus the chunk time get_chunk
+            # already credited to "pairhmm" inside this interval
+            timings["consistency"] = timings.get("consistency", 0.0) + (
+                (_time.time() - t0) - (timings.get("pairhmm", 0.0) - ph_before)
+            )
             # free chunks strictly behind the remaining pair frontier
             keep_from = p_hi // pair_chunk
             for ck in [k for k in list(chunk_cache) if k < keep_from]:

@@ -496,13 +496,10 @@ def bec_decode_target(
     n = 0
     for n in range(1, max_rounds + 1):
         new = np.asarray(_peel_values(graph, vals, 1))
-        tgt_clean = bool((new[:, lo:hi] == 0).all())
         stalled = (new == vals).all()
         vals = new
-        if tgt_clean or stalled:
+        if bool((vals[:, lo:hi] == 0).all()) or stalled:
             break
-    else:
-        tgt_clean = bool((vals[:, lo:hi] == 0).all())
     return vals, n, bool((vals[:, lo:hi] == 0).all())
 
 
